@@ -1,0 +1,201 @@
+"""Headline benchmark: residual-loss training-step throughput at 1M particles.
+
+Measures the flagship kinetic-OU consistency objective (the reference's
+scripts/run_KOU.sh scaled to a 1M-point path batch, per BASELINE.json's
+north star) as FULL optimizer steps per second per chip, and compares
+against a reference-faithful baseline implemented in the same process:
+
+* baseline ("reference semantics"): one jit-dispatched value_and_grad per
+  Python-loop step, moment oracle integrated with ``odeint`` inside the
+  traced sampler (kinetic_fokker_planck_example_OU.py:73-93), a separate
+  jitted optimizer step, and a host sync + NaN assert + metric fetch every
+  step (core/trainer.py:85-113);
+* ours: the fused lax.scan chunk (sampling via the matrix-exponential
+  oracle, loss, grad, Adam update, all in one XLA program, one host sync
+  per chunk).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/s, "unit": "steps/s", "vs_baseline": ratio}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+N_TIME = 100
+PER_TIME = 10_000  # 1M path points
+BOUNDARY = 2_500
+DIM = 4
+
+
+def _cfg():
+    from pde_inverse_tpu.config import Config, apply_overrides
+
+    return apply_overrides(
+        Config(),
+        [
+            "pde_instance.name=Kinetic-Fokker-Planck",
+            "pde_instance.domain_dim=%d" % DIM,
+            "pde_instance.total_evolving_time=2",
+            "solver.train.sample_mode=grid_time",
+            f"solver.train.n_time_stamps={N_TIME}",
+            f"solver.train.sample_per_time={PER_TIME}",
+            f"solver.train.batch_size_init={BOUNDARY}",
+            f"solver.train.batch_size_terminal={BOUNDARY}",
+            "train.optimizer.learning_rate.initial=1e-2",
+            "train.optimizer.learning_rate.scheduling=cosine",
+        ],
+    )
+
+
+def _build():
+    from pde_inverse_tpu.methods import ConsistencyBased
+    from pde_inverse_tpu.problems import KineticFokkerPlanckOU
+    from pde_inverse_tpu.training.optimizers import get_optimizer
+
+    cfg = _cfg()
+    rng = jax.random.PRNGKey(0)
+    inst = KineticFokkerPlanckOU(cfg, rng)
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+    net, params = method.create_model_fn()
+    opt = get_optimizer(cfg.train.optimizer)
+    return cfg, inst, method, net, params, opt
+
+
+def bench_ours(method, net, params, opt, n_steps=30, chunk=10):
+    """Fused scan-chunk trainer steps/sec."""
+
+    def one_step(carry, rng):
+        params, opt_state = carry
+        out = method.value_and_grad_fn(net.apply, params, rng)
+        updates, opt_state = opt.update(out["grad"], opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), out["loss"]
+
+    @jax.jit
+    def run_chunk(carry, rngs):
+        return jax.lax.scan(one_step, carry, rngs)
+
+    carry = (params, opt.init(params))
+    rngs = jax.random.split(jax.random.PRNGKey(1), chunk)
+    carry, losses = run_chunk(carry, rngs)  # compile + warmup
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        carry, losses = run_chunk(carry, rngs)
+        jax.block_until_ready(losses)
+        assert np.isfinite(np.asarray(losses)).all()
+        done += chunk
+    dt = time.perf_counter() - t0
+    return done / dt
+
+
+def bench_reference_semantics(inst, net, params, opt, n_steps=10):
+    """Reference-faithful step: odeint oracle inside the traced sampler,
+    one dispatch + host sync per step."""
+    from jax.experimental.ode import odeint
+
+    cfg_tr = inst.cfg.solver.train
+    c = inst.configuration
+    T = float(inst.total_evolving_time)
+    gamma = inst.gamma_friction
+
+    def odeint_moments(ts):
+        # moment ODE integrated from 0 along the sorted grid, as the
+        # reference does per step (…OU.py:73-93 via get_mean_cov)
+        state0 = {"m": c["m_0"], "P": c["P_0"]}
+
+        def ode(s, t):
+            return {
+                "m": c["F"] @ s["m"],
+                "P": c["F"] @ s["P"] + s["P"] @ c["F"].T + c["L"],
+            }
+
+        full = odeint(ode, state0, jnp.concatenate([jnp.zeros([1]), ts]))
+        return full["m"][1:], full["P"][1:]
+
+    def sample_data(rng):
+        rng_i, rng_t, rng_0T, rng_shift, rng_x = jax.random.split(rng, 5)
+        n_time, per_time = cfg_tr.n_time_stamps, cfg_tr.sample_per_time
+        shift = jax.random.uniform(rng_shift, (n_time,)) * (T / n_time)
+        ts = jnp.linspace(0.0, T, n_time + 1)[:-1] + shift
+        means, covs = odeint_moments(ts)
+        # reference samples with an SVD sqrt per Gaussian
+        def sqrtm(P):
+            U, S, _ = jnp.linalg.svd(P)
+            return U @ jnp.diag(jnp.sqrt(S)) @ U.T
+
+        halves = jax.vmap(sqrtm)(covs)
+        eps = jax.random.normal(rng_x, (per_time, n_time, 2 * DIM))
+        z = jnp.einsum("tij,ntj->nti", halves, eps) + means
+        return {
+            "initial": inst.distribution_initial.sample(
+                cfg_tr.batch_size_init, rng_i
+            ),
+            "terminal": inst.distribution_terminal.sample(
+                cfg_tr.batch_size_terminal, rng_t
+            ),
+            "0T": z.reshape(-1, 2 * DIM),
+        }
+
+    from pde_inverse_tpu.losses import kinetic_fokker_planck as kfp_loss
+
+    @jax.jit
+    def value_and_grad(params, rng):
+        data = sample_data(rng)
+        return kfp_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+
+    @jax.jit
+    def step(params, opt_state, grad):
+        updates, opt_state = opt.update(grad, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    opt_state = opt.init(params)
+    rngs = jax.random.split(jax.random.PRNGKey(1), n_steps + 1)
+
+    # warmup/compile
+    out = value_and_grad(params, rngs[0])
+    params_w, opt_state_w = step(params, opt_state, out["grad"])
+    jax.block_until_ready(params_w)
+
+    t0 = time.perf_counter()
+    p, s = params, opt_state
+    for i in range(n_steps):
+        out = value_and_grad(p, rngs[i + 1])
+        p, s = step(p, s, out["grad"])
+        # reference host-syncs every step: NaN assert + metric dict fetch
+        out.pop("grad")
+        host = jax.tree_util.tree_map(np.asarray, out)
+        assert np.isfinite(host["loss"])
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
+def main():
+    from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg, inst, method, net, params, opt = _build()
+    ours = bench_ours(method, net, params, opt)
+    ref = bench_reference_semantics(inst, net, params, opt)
+    result = {
+        "metric": "KOU consistency train-step throughput @1M path points",
+        "value": round(ours, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(ours / ref, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,376 @@
+"""Typed configuration system.
+
+Replaces the reference's untyped Hydra ``DictConfig`` threading
+(``/root/reference/configurations/config.yaml:1-40``, ``api.py:27``) with
+frozen dataclasses.  Configs compose the same four groups the reference uses
+(pde_instance / solver / neural_network / log_density) plus train / test /
+backend / checkpoint blocks, are YAML-loadable, and accept dotted-path CLI
+overrides (``train.optimizer.learning_rate=1e-2``) like Hydra's CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Config groups
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PDEInstanceConfig:
+    """Which PDE and its physical setup.
+
+    Mirrors the reference's ``configurations/pde_instance/*.yaml``.
+    """
+
+    name: str = "Fokker-Planck"  # Fokker-Planck | Kinetic-Fokker-Planck | Kinetic-McKean-Vlasov
+    potential: str = "Quadratic"  # Quadratic | GMM
+    domain_dim: int = 4
+    domain_min: float = -10.0
+    domain_max: float = 10.0
+    diffusion_coefficient: float = 2.0
+    total_evolving_time: float = 2.0
+    # online | offline  (offline pre-generates a fixed dataset)
+    sample_mode: str = "online"
+    # --- SDE (Langevin) sampling parameters (GMM instances) ---
+    n_steps: int = 100
+    sample_initial_size: int = 500_000
+    sample_terminal_size: int = 200_000
+    sample_0T_size: int = 20_000
+    n_steps_terminal: int = 400
+    n_steps_0T: int = 400
+
+
+@dataclass(frozen=True)
+class SolverTrainConfig:
+    """Per-step data-sampling sizes (reference ``solver/ConsistencyBased.yaml``)."""
+
+    batch_size_init: int = 50_000
+    batch_size_terminal: int = 50_000
+    batch_size_0T: int = 50_000
+    n_time_stamps: int = 200
+    sample_per_time: int = 250
+    # random_time | grid_time
+    sample_mode: str = "random_time"
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    name: str = "ConsistencyBased"
+    train: SolverTrainConfig = field(default_factory=SolverTrainConfig)
+
+
+@dataclass(frozen=True)
+class NetworkConfig:
+    """Hypothesis-network hyperparameters (reference ``neural_network/MLP.yaml``)."""
+
+    hidden_dim: int = 20
+    layers: int = 8
+    n_resblocks: int = 0
+    activation: str = "tanh"
+    time_embedding_dim: int = 0
+    # Width of the final squared-feature layer of the potential MLP.  The
+    # reference hardcodes 40 (core/model.py:43); 128 aligns to TPU lanes.
+    feature_dim: int = 128
+    # Compute dtype for the MLP hidden path ("float32" | "bfloat16").
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LearningRateConfig:
+    initial: float = 0.001
+    scheduling: str = "None"  # None | cosine
+    # The reference hardcodes 20000 cosine decay steps regardless of run
+    # length (main.py:16); we expose it.
+    cosine_decay_steps: int = 20_000
+    cosine_alpha: float = 0.001
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    method: str = "SGD"  # reference name for its adam chain (main.py:12-26)
+    momentum: float = 0.9
+    weight_decay: float = 0.001
+    use_ema: bool = False
+    ema_decay: float = 0.999
+    # Step at which the EMA engages with a state reset.  The reference
+    # hardcodes 40000 (core/trainer.py:88-100).
+    ema_switch_step: int = 40_000
+    learning_rate: LearningRateConfig = field(default_factory=LearningRateConfig)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    number_of_iterations: int = 80_000
+    batch_size: int = 64
+    # Number of optimizer steps fused into one jitted lax.scan chunk.  The
+    # reference syncs to host every step (core/trainer.py:112-113); we sync
+    # once per chunk.
+    steps_per_chunk: int = 100
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    batch_size: int = 50_000
+    frequency: int = 100
+    verbose: bool = False
+
+
+@dataclass(frozen=True)
+class PlotConfig:
+    batch_size: int = 50_000
+    frequency: int = 2000
+    enable: bool = False
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Device-mesh layout (replaces reference backend.use_pmap_train)."""
+
+    # Number of mesh devices along the data (particle/batch) axis;
+    # 0 = use all available devices.
+    data_axis_size: int = 0
+    # Mean-field reference-axis shards for KMV (our "sequence parallel").
+    ref_axis_size: int = 1
+    use_mesh: bool = True
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class CheckpointConfig:
+    """Orbax checkpointing. The reference declares this block but never
+    reads it (configurations/config.yaml:9-14); here it is functional."""
+
+    load_model: bool = False
+    save_model: bool = False
+    save_frequency: int = 2000
+    model_directory: str = "./checkpoint"
+
+
+@dataclass(frozen=True)
+class LogDensityConfig:
+    """Normalizing-flow density-estimation trainer (reference L6)."""
+
+    num_epochs: int = 20_000
+    batch_size_time: int = 50
+    embed_time_dim: int = 10
+    couple_mul: int = 4
+    mask_type: str = "loop"
+    activation: str = "celu"
+    soft_init: float = 1.0
+    learning_rate: float = 1e-3
+    lr_constant_steps: int = 5000
+    lr_decay_end_step: int = 15_000
+
+
+@dataclass(frozen=True)
+class LoggingConfig:
+    # jsonl | csv | wandb | none
+    writer: str = "jsonl"
+    run_dir: str = "./runs"
+    project: str = ""
+
+
+@dataclass(frozen=True)
+class Config:
+    pde_instance: PDEInstanceConfig = field(default_factory=PDEInstanceConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    neural_network: NetworkConfig = field(default_factory=NetworkConfig)
+    log_density: LogDensityConfig = field(default_factory=LogDensityConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    plot: PlotConfig = field(default_factory=PlotConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    save_and_load: CheckpointConfig = field(default_factory=CheckpointConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    seed: int = 1
+    estimation_mode: str = "parametric"  # parametric | non-parametric
+    ODE_tolerance: float = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Construction / override machinery
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Coerce a string (from YAML/CLI) to the dataclass field type."""
+    if target_type is bool and isinstance(value, str):
+        if value.lower() in ("true", "1", "yes"):
+            return True
+        if value.lower() in ("false", "0", "no"):
+            return False
+        raise ValueError(f"cannot parse bool from {value!r}")
+    if target_type in (int, float, str) and not isinstance(value, target_type):
+        return target_type(value)
+    return value
+
+
+def _from_dict(cls: type, data: dict) -> Any:
+    kwargs = {}
+    field_map = {f.name: f for f in fields(cls)}
+    for key, value in data.items():
+        if key not in field_map:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        f = field_map[key]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[key] = _from_dict(f.type, value)
+        elif isinstance(value, dict):
+            # dataclass fields whose type annotation is a string (from
+            # __future__ annotations): resolve from the default factory.
+            sub_default = field_map[key].default_factory()  # type: ignore[misc]
+            kwargs[key] = _from_dict(type(sub_default), value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def from_dict(data: dict) -> Config:
+    return _from_dict(Config, data)
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def load_yaml(path: str) -> Config:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return from_dict(data)
+
+
+def apply_override(cfg: Any, dotted_key: str, value: Any) -> Any:
+    """Return a copy of `cfg` with `dotted_key` (e.g. "train.batch_size")
+    replaced by `value` (coerced to the field's type)."""
+    head, _, rest = dotted_key.partition(".")
+    field_map = {f.name: f for f in fields(cfg)}
+    if head not in field_map:
+        raise KeyError(f"unknown config key {head!r} on {type(cfg).__name__}")
+    current = getattr(cfg, head)
+    if rest:
+        new_value = apply_override(current, rest, value)
+    else:
+        new_value = _coerce(value, type(current))
+    return dataclasses.replace(cfg, **{head: new_value})
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply Hydra-style `key.path=value` overrides."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        key, _, value = item.partition("=")
+        cfg = apply_override(cfg, key.strip(), value.strip())
+    return cfg
+
+
+# Canonical experiment presets, mirroring the reference's launch scripts
+# (SURVEY.md §6, /root/reference/scripts/**).
+PRESETS = {
+    # scripts/run_OU.sh — overdamped OU, non-parametric default dims
+    "OU": [
+        "pde_instance.name=Fokker-Planck",
+        "train.batch_size=50000",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=5",
+        "train.optimizer.learning_rate.scheduling=cosine",
+    ],
+    # scripts/run_KOU.sh — kinetic OU, grid_time 100x2500
+    "KOU": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.domain_dim=4",
+        "train.batch_size=250000",
+        "solver.train.sample_per_time=2500",
+        "solver.train.n_time_stamps=100",
+        "solver.train.batch_size_init=2500",
+        "solver.train.batch_size_terminal=2500",
+        "solver.train.batch_size_0T=250000",
+        "solver.train.sample_mode=grid_time",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=2",
+        "train.optimizer.learning_rate.scheduling=cosine",
+    ],
+    # scripts/run_KGMM.sh — kinetic GMM online SDE sampling
+    "KGMM": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=online",
+        "pde_instance.n_steps=200",
+        "solver.train.batch_size_0T=2500",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=2",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "seed=2",
+    ],
+    # scripts/parametric/KFP/run_KGMM_offline_parametric.sh
+    "KGMM-offline": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=offline",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=10",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "seed=2",
+        "estimation_mode=parametric",
+    ],
+    # scripts/parametric/KMV/run_quadratic_online.sh
+    "KMV": [
+        "pde_instance.name=Kinetic-McKean-Vlasov",
+        "pde_instance.potential=Quadratic",
+        "pde_instance.domain_dim=2",
+        "pde_instance.sample_mode=online",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=1",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "seed=2",
+        "estimation_mode=parametric",
+        "solver.train.sample_mode=grid_time",
+        "solver.train.sample_per_time=5000",
+        "solver.train.n_time_stamps=1",
+        "solver.train.batch_size_init=0",
+        "solver.train.batch_size_terminal=0",
+    ],
+    # scripts/non-parametric/run_KGMM.sh
+    "KGMM-nonparametric": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=offline",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "pde_instance.total_evolving_time=4",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "seed=2",
+        "estimation_mode=non-parametric",
+    ],
+}
+
+
+def preset(name: str, extra_overrides: Optional[list[str]] = None) -> Config:
+    """Build a Config from a named preset plus extra CLI-style overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    cfg = apply_overrides(Config(), PRESETS[name])
+    if extra_overrides:
+        cfg = apply_overrides(cfg, extra_overrides)
+    return cfg

@@ -1,0 +1,102 @@
+"""Consistency (weak-form) loss for the kinetic Fokker-Planck equation.
+
+Integration-by-parts turns the kinetic FPE residual for the candidate
+potential V into expectations over path samples z = [x | v]:
+
+    loss = E_0T ||grad V||^2  -  2 E_0T [v^T Hess(V) v]
+         + 2 gamma E_0T [grad V . v]  +  E_0T ||grad V_true||^2
+         + (2 / T) ( E_term [grad V . v] - E_init [grad V . v] )
+
+(the E||grad V_true||^2 term is a model-independent constant that completes
+a square so the minimum value is interpretable).  Hessian quadratic forms
+use forward-over-reverse HVPs (never materializing the Hessian), and every
+expectation is a shard-local mean + cross-shard reduction inserted by GSPMD.
+
+Parity: /root/reference/methods/consistency_instances/kinetic_fokker_planck.py:11-105.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu.ops import autodiff as ad
+
+
+def _split_xv(z: jnp.ndarray):
+    return jnp.split(z, 2, axis=-1)
+
+
+def make_loss_fn(forward_fn, data, pde_instance):
+    """Returns (loss_fn(params), aux_fn(params)) closures over data."""
+    x_init, v_init = _split_xv(data["initial"])
+    x_term, v_term = _split_xv(data["terminal"])
+    x_0T, v_0T = _split_xv(data["0T"])
+
+    gamma = pde_instance.gamma_friction
+    T = pde_instance.total_evolving_time
+    nabla_V_true = ad.batched_grad(pde_instance.V_true_fn, x_0T)
+    loss_nabla_true = jnp.mean(jnp.sum(nabla_V_true**2, axis=-1))
+
+    def loss_fn(params):
+        V = lambda x: forward_fn(params, x)[0]
+        nabla_0T = ad.batched_grad(V, x_0T)
+        loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
+        loss_hessian = jnp.mean(ad.batched_hvp_quadform(V, x_0T, v_0T))
+        loss_friction = gamma * jnp.mean(jnp.sum(nabla_0T * v_0T, axis=-1))
+
+        def boundary(x, v):
+            # mean of grad V . v, safe for empty boundary batches (the KMV
+            # preset runs with batch_size_init = 0)
+            if x.shape[0] == 0:
+                return jnp.zeros([])
+            return jnp.mean(jnp.sum(ad.batched_grad(V, x) * v, axis=-1))
+
+        loss_initial = boundary(x_init, v_init)
+        loss_terminal = boundary(x_term, v_term)
+        return (
+            loss_nabla - 2.0 * loss_hessian + 2.0 * loss_friction + loss_nabla_true
+        ) + (2.0 * loss_terminal - 2.0 * loss_initial) / T
+
+    def ground_truth_gap(params):
+        """Diagnostic E||grad V_true - grad V||^2 on the path batch —
+        the de-facto accuracy metric (reference logs it per step)."""
+        V = lambda x: forward_fn(params, x)[0]
+        return jnp.mean(jnp.sum((nabla_V_true - ad.batched_grad(V, x_0T)) ** 2, axis=-1))
+
+    return loss_fn, ground_truth_gap
+
+
+def value_and_grad_fn(forward_fn, params, data, rng, pde_instance):
+    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
+    loss, grad = jax.value_and_grad(loss_fn)(params)
+    return {
+        "loss": loss,
+        "grad": grad,
+        "grad_norm": ad.pytree_l2_norm(grad),
+        "loss ground truth": gap_fn(params),
+    }
+
+
+def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000):
+    """Relative L2 error of grad V at initial/terminal samples.  The
+    reference's KFP test_fn is commented out and returns {} (…/kinetic_
+    fokker_planck.py:72-92); here it is live."""
+    V = lambda x: forward_fn(x)[0]
+    V_true = pde_instance.V_true_fn
+    rng_i, rng_t = jax.random.split(rng)
+    metrics = {}
+    pairs = [("initial", pde_instance.distribution_initial, rng_i)]
+    if pde_instance.distribution_terminal is not None:
+        pairs.append(("terminal", pde_instance.distribution_terminal, rng_t))
+    for name, dist, key in pairs:
+        z = dist.sample(batch_size, key)
+        x, _ = _split_xv(z)
+        pred = ad.batched_grad(V, x)
+        true = ad.batched_grad(V_true, x)
+        rel = jnp.sqrt(
+            jnp.mean(jnp.sum((pred - true) ** 2, -1))
+            / jnp.mean(jnp.sum(true**2, -1))
+        )
+        metrics[f"relative error of gradient estimation {name}"] = rel
+    return metrics

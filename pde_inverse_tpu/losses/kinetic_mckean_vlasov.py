@@ -1,0 +1,185 @@
+"""Consistency loss for the kinetic McKean-Vlasov equation (mean-field).
+
+The unknown is the interaction kernel Phi; the mean-field convolution
+(Phi * rho_t)(x) = E_ref[Phi(x - ref)] is estimated with the empirical
+measure of the path samples themselves.  With weights
+    w(s, x) = d2/ds2 log rho + (d/ds log rho)^2 + gamma d/ds log rho
+(from the analytic Gaussian-path oracle), the loss is
+
+    loss = E_{n,t} || E_ref grad Phi(x - ref) ||^2
+         - 2 E_{n,t} E_ref [ v^T Hess Phi(x - ref) v ]
+         + 2 E_{n,t} [ E_ref Phi(x - ref) * w(t, x) ]
+         + E_{n,t} || E_ref grad Phi_true(x - ref) ||^2
+
+Memory design (the [m, n, n_time, d] pairwise-difference tensor is the
+reference's memory cliff, kinetic_mckean_vlasov.py:22-48): the reference
+axis is processed in fixed-size chunks under ``lax.scan`` with
+rematerialization, so peak memory is O(chunk * n * n_time * d) while the
+FLOPs stay identical; the chunk loop is the ICI-sharding seam for a future
+ref-axis parallel mode.
+
+Also fixes the reference's time/weight alignment: its
+``reshape(-1, n_time)`` of a [n_time, n] array scrambles sample and time
+axes for n_time > 1 (kinetic_mckean_vlasov.py:57-72); here weights are
+computed directly in [n, n_time] layout.
+
+Parity: /root/reference/methods/consistency_instances/kinetic_mckean_vlasov.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu.ops import autodiff as ad
+
+# Chunk of the mean-field reference axis processed per scan step.
+REF_CHUNK = 512
+
+
+def _chunked_ref_means(fn_stats, refs: jnp.ndarray, chunk: int):
+    """Average per-chunk statistics over the reference axis.
+
+    fn_stats(ref_chunk [c, nt, d], mask [c]) -> pytree of masked *sums* over
+    the chunk axis.  refs: [m, nt, d].  Returns pytree of means over m.
+    """
+    m = refs.shape[0]
+    chunk = min(chunk, m)
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    refs_p = jnp.pad(refs, ((0, pad), (0, 0), (0, 0)))
+    refs_p = refs_p.reshape(n_chunks, chunk, *refs.shape[1:])
+    idx = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
+    masks = idx < m
+
+    def body(acc, inputs):
+        ref_c, mask_c = inputs
+        stats = jax.checkpoint(fn_stats)(ref_c, mask_c)
+        acc = jax.tree_util.tree_map(jnp.add, acc, stats)
+        return acc, None
+
+    init = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(fn_stats, refs_p[0], masks[0]),
+    )
+    total, _ = jax.lax.scan(body, init, (refs_p, masks))
+    return jax.tree_util.tree_map(lambda s: s / m, total)
+
+
+def _pairwise_stats(fns, x, v, refs, chunk):
+    """Mean over refs of each fn's statistic. fns: dict name -> callable
+    (diff [c, n, nt, d], v [n, nt, d]) -> stat summed over c."""
+
+    def fn_stats(ref_c, mask_c):
+        diff = x[None] - ref_c[:, None]  # [c, n, nt, d]
+        w = mask_c.astype(x.dtype)
+        return {name: f(diff, w) for name, f in fns.items()}
+
+    return _chunked_ref_means(fn_stats, refs, chunk)
+
+
+def _masked_sum(arr, w):
+    # arr: [c, ...]; w: [c]
+    return jnp.tensordot(w, arr, axes=(0, 0))
+
+
+def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """w(t, x) = d2s log rho + (ds log rho)^2 + gamma ds log rho, [n, nt]."""
+    gamma = pde_instance.gamma_friction
+
+    def per_time(s, x_t):  # x_t: [n, d]
+        d1 = pde_instance.partial_s_log_density_fn(s, x_t)
+        d2 = pde_instance.partial_s2_log_density_fn(s, x_t)
+        return d2 + d1**2 + gamma * d1  # [n]
+
+    w = jax.vmap(per_time, in_axes=(0, 1), out_axes=1)(taus, x)  # [n, nt]
+    return w
+
+
+def make_loss_fn(forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK):
+    taus = data["tau_0T"]  # [nt]
+    n_time = taus.shape[0]
+    x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
+    d = x_0T.shape[-1]
+    x = x_0T.reshape(-1, n_time, d)  # [n, nt, d]
+    v = v_0T.reshape(-1, n_time, d)
+    refs = x  # empirical mean-field measure = the samples themselves
+
+    weights = compute_weights(pde_instance, taus, x)  # [n, nt]
+
+    Phi_true = pde_instance.Phi_true_fn
+    true_stats = _pairwise_stats(
+        {
+            "nabla_true": lambda diff, w: _masked_sum(
+                ad.batched_grad(Phi_true, diff), w
+            )
+        },
+        x,
+        v,
+        refs,
+        ref_chunk,
+    )
+    mean_nabla_true = true_stats["nabla_true"]  # [n, nt, d]
+    loss_nabla_true = jnp.mean(jnp.sum(mean_nabla_true**2, axis=-1))
+
+    def model_stats(params):
+        Phi = lambda xi: forward_fn(params, xi)[0]
+
+        def hess_quad(diff, w):
+            # v^T Hess Phi(diff) v, broadcasting v over the chunk axis
+            per_ref = jax.vmap(lambda dc: ad.batched_hvp_quadform(Phi, dc, v))(diff)
+            return _masked_sum(per_ref, w)
+
+        return _pairwise_stats(
+            {
+                "nabla": lambda diff, w: _masked_sum(ad.batched_grad(Phi, diff), w),
+                "hess": hess_quad,
+                "value": lambda diff, w: _masked_sum(ad.batched_value(Phi, diff), w),
+            },
+            x,
+            v,
+            refs,
+            ref_chunk,
+        )
+
+    def loss_fn(params):
+        stats = model_stats(params)
+        loss_nabla = jnp.mean(jnp.sum(stats["nabla"] ** 2, axis=-1))
+        loss_hessian = jnp.mean(stats["hess"])
+        loss_value = jnp.mean(stats["value"] * weights)
+        return loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
+
+    def ground_truth_gap(params):
+        stats = model_stats(params)
+        return jnp.mean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
+
+    return loss_fn, ground_truth_gap
+
+
+def value_and_grad_fn(forward_fn, params, data, rng, pde_instance):
+    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
+    loss, grad = jax.value_and_grad(loss_fn)(params)
+    return {
+        "loss": loss,
+        "grad": grad,
+        "grad_norm": ad.pytree_l2_norm(grad),
+        "loss ground truth": gap_fn(params),
+    }
+
+
+def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000):
+    """Relative L2 error of grad Phi over pairwise differences of initial
+    samples (the reference's KMV test_fn returns {}; this one is live)."""
+    Phi = lambda x: forward_fn(x)[0]
+    z = pde_instance.distribution_initial.sample(batch_size, rng)
+    x, _ = jnp.split(z, 2, axis=-1)
+    # evaluate on differences x_i - x_{i+1} (cheap O(n) probe set)
+    diff = x - jnp.roll(x, 1, axis=0)
+    pred = ad.batched_grad(Phi, diff)
+    true = ad.batched_grad(pde_instance.Phi_true_fn, diff)
+    rel = jnp.sqrt(
+        jnp.mean(jnp.sum((pred - true) ** 2, -1)) / jnp.mean(jnp.sum(true**2, -1))
+    )
+    return {"relative error of interaction gradient": rel}

@@ -1,0 +1,103 @@
+"""CLI entry point.
+
+Usage (Hydra-style overrides on a typed config, no Hydra dependency):
+
+    python -m pde_inverse_tpu.main preset=KOU train.number_of_iterations=20000
+    python -m pde_inverse_tpu.main config=configs/my.yaml seed=3 ...
+
+Parity: /root/reference/main.py (wandb init -> 4-way seed split -> problem ->
+method -> model -> optimizer -> trainer.fit), with the metric writer
+pluggable (JSONL by default so runs work offline on a TPU VM).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu import config as config_lib
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.parallel.mesh import build_mesh
+from pde_inverse_tpu.registry import get_method, get_pde_instance
+from pde_inverse_tpu.training.metrics import make_writer
+from pde_inverse_tpu.training.optimizers import get_optimizer
+from pde_inverse_tpu.training.trainer import Trainer
+
+
+def parse_args(argv) -> Config:
+    overrides = []
+    cfg = None
+    preset_name = None
+    for arg in argv:
+        key, _, value = arg.partition("=")
+        if key == "config":
+            cfg = config_lib.load_yaml(value)
+        elif key == "preset":
+            preset_name = value
+        else:
+            overrides.append(arg)
+    if preset_name is not None:
+        return config_lib.preset(preset_name, overrides)
+    cfg = cfg or Config()
+    return config_lib.apply_overrides(cfg, overrides)
+
+
+def run(cfg: Config):
+    from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    # Deterministic 4-way seed split (parity: main.py:43-44).
+    seed_names = ["rng_problem", "rng_method", "rng_trainer", "rng_log_density"]
+    seeds = dict(
+        zip(seed_names, jax.random.split(jax.random.PRNGKey(cfg.seed), len(seed_names)))
+    )
+
+    pde_instance = get_pde_instance(cfg)(cfg=cfg, rng=seeds["rng_problem"])
+    method = get_method(cfg)(pde_instance=pde_instance, cfg=cfg, rng=seeds["rng_method"])
+    net, params = method.create_model_fn()
+    optimizer = get_optimizer(cfg.train.optimizer)
+
+    mesh_spec = build_mesh(cfg.backend) if cfg.backend.use_mesh else None
+
+    run_name = (
+        f"{cfg.pde_instance.domain_dim}D-{cfg.pde_instance.name}-"
+        f"{cfg.pde_instance.potential}-{cfg.solver.name}-"
+        f"{cfg.pde_instance.total_evolving_time}"
+    )
+    writer = make_writer(
+        cfg.logging.writer,
+        run_dir=f"{cfg.logging.run_dir}/{run_name}-seed{cfg.seed}",
+        project=cfg.logging.project or run_name,
+        config=config_lib.to_dict(cfg),
+    )
+
+    trainer = Trainer(
+        cfg=cfg,
+        method=method,
+        rng=seeds["rng_trainer"],
+        forward_fn=net.apply,
+        params=params,
+        optimizer=optimizer,
+        mesh_spec=mesh_spec,
+        writer=writer,
+    )
+    try:
+        params_trained = trainer.fit()
+    finally:
+        writer.close()
+
+    rel = pde_instance.recovered_parameter_rel_l2(jax.device_get(params_trained))
+    if rel is not None:
+        print(f"[result] recovered-parameter rel-L2: {float(rel):.4e}")
+    return params_trained
+
+
+def main():
+    cfg = parse_args(sys.argv[1:])
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

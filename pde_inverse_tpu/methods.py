@@ -1,0 +1,153 @@
+"""Method layer: the consistency-based estimator and its data policy.
+
+Parity: /root/reference/methods/consistency.py (``ConsistencyBased``) and
+/root/reference/api.py:67-103 (``Method``).  The per-PDE loss modules live
+in ``pde_inverse_tpu.losses``; this class dispatches to them and implements
+the three data-sampling policies:
+
+* online + exact  — sample initial/terminal/path batches from the closed-
+  form Gaussian law every step (inside jit, on device);
+* online + SDE    — the problem simulates (initial, terminal, path) with the
+  Langevin kernel every step (the reference's version of this path crashes,
+  see problems/kfp_gmm.py);
+* offline         — full initial/terminal sets plus a strided random
+  subsample of the stored trajectories (stride 5 in both time and
+  trajectory axes, matching consistency.py:90-118).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.losses import LOSS_MODULES
+from pde_inverse_tpu.problems.base import ProblemInstance
+
+
+@dataclass
+class Method:
+    pde_instance: ProblemInstance
+    cfg: Config
+    rng: jax.Array
+
+    def value_and_grad_fn(self, forward_fn, params, rng) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def test_fn(self, forward_fn, params, rng) -> Dict[str, Any]:
+        return {}
+
+    def plot_fn(self, forward_fn, params, rng) -> None:
+        return None
+
+    def create_model_fn(self):
+        raise NotImplementedError
+
+
+class ConsistencyBased(Method):
+    """Weak-form consistency estimator over {FP, KFP, KMV}."""
+
+    # Set by the trainer to shard per-step batches over the mesh's data axis
+    # (parallel.mesh.MeshSpec); None = single-device.
+    mesh_spec = None
+
+    def _loss_module(self):
+        name = self.cfg.pde_instance.name
+        if name not in LOSS_MODULES:
+            raise KeyError(f"no consistency loss for {name!r}")
+        return LOSS_MODULES[name]
+
+    def create_model_fn(self):
+        from pde_inverse_tpu.models import get_model
+
+        net = get_model(self.cfg, self.pde_instance)
+        z = self.pde_instance.distribution_initial.sample(1, jax.random.PRNGKey(1))[0]
+        if self.cfg.pde_instance.name.startswith("Kinetic"):
+            x = jnp.split(z, 2, axis=-1)[0]
+        else:
+            x = z
+        params = net.init(jax.random.PRNGKey(11), x)
+        return net, params
+
+    def value_and_grad_fn(self, forward_fn, params, rng):
+        rng_sample, rng_vg = jax.random.split(rng)
+        data = self.sample_data(rng_sample)
+        return self._loss_module().value_and_grad_fn(
+            forward_fn=forward_fn,
+            params=params,
+            data=data,
+            rng=rng_vg,
+            pde_instance=self.pde_instance,
+        )
+
+    def test_fn(self, forward_fn, params, rng):
+        from functools import partial
+
+        return self._loss_module().test_fn(
+            forward_fn=partial(forward_fn, params),
+            pde_instance=self.pde_instance,
+            rng=rng,
+        )
+
+    # -- data policy -----------------------------------------------------------
+
+    def sample_data(self, rng) -> Dict[str, jnp.ndarray]:
+        data = self._sample_data_unsharded(rng)
+        if self.mesh_spec is not None:
+            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+
+            data = shard_tree_batches(data, self.mesh_spec)
+        return data
+
+    def _sample_data_unsharded(self, rng) -> Dict[str, jnp.ndarray]:
+        inst = self.pde_instance
+        tr = self.cfg.solver.train
+        if inst.sample_mode == "online":
+            rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
+            if inst.sample_scheme == "exact":
+                spec = (
+                    tr.batch_size_0T
+                    if tr.sample_mode == "random_time"
+                    else (tr.n_time_stamps, tr.sample_per_time)
+                )
+                return {
+                    "initial": inst.distribution_initial.sample(
+                        tr.batch_size_init, rng_init
+                    ),
+                    "terminal": inst.distribution_terminal.sample(
+                        tr.batch_size_terminal, rng_term
+                    ),
+                    "0T": inst.sample_ground_truth(rng_0T, spec),
+                    "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
+                }
+            if inst.sample_scheme == "SDE":
+                initial, terminal, path = inst.sample_ground_truth(
+                    rng_0T, tr.batch_size_0T
+                )
+                return {"initial": initial, "terminal": terminal, "0T": path}
+            raise ValueError(f"unknown sample scheme {inst.sample_scheme!r}")
+
+        if inst.sample_mode == "offline":
+            dataset = inst.dataset
+            rng_time, rng_sample = jax.random.split(rng)
+            n_traj, n_time, _ = dataset["0T"].shape
+
+            stride_t, stride_n = 5, 5
+            shift = jax.random.randint(rng_time, [], 0, stride_t)
+            time_idx = jnp.arange(n_time // stride_t) * stride_t + shift
+            traj_idx = jax.random.permutation(rng_sample, n_traj)[: n_traj // stride_n]
+
+            sub = dataset["0T"][traj_idx][:, time_idx]  # [n', t', 2d]
+            data = {
+                "initial": dataset["initial"],
+                "terminal": dataset["terminal"],
+                "0T": sub.reshape(-1, sub.shape[-1]),
+            }
+            if "tau_0T" in dataset:
+                data["tau_0T_per_traj"] = dataset["tau_0T"][traj_idx][:, time_idx]
+            return data
+
+        raise ValueError(f"unknown sample mode {inst.sample_mode!r}")

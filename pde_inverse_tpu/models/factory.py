@@ -1,0 +1,36 @@
+"""Model factory (parity: get_model, reference core/model.py:109-131)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.models.mlp import PotentialMLP, ResNetPotential
+
+
+def get_model(cfg: Config, pde_instance=None):
+    """Dispatch on estimation_mode: parametric models come from the problem
+    instance (their weights are the physical parameters); non-parametric is
+    an MLP (or ResNet) potential."""
+    if cfg.estimation_mode == "parametric":
+        if pde_instance is None:
+            raise ValueError("parametric mode requires a pde_instance")
+        return pde_instance.create_parametric_model()
+    if cfg.estimation_mode == "non-parametric":
+        net = cfg.neural_network
+        dtype = jnp.bfloat16 if net.dtype == "bfloat16" else jnp.float32
+        if net.n_resblocks > 0:
+            return ResNetPotential(
+                hidden_dim=net.hidden_dim,
+                n_blocks=net.n_resblocks,
+                feature_dim=net.feature_dim,
+                activation=net.activation,
+                dtype=dtype,
+            )
+        return PotentialMLP(
+            hidden_dims=[net.hidden_dim] * net.layers,
+            feature_dim=net.feature_dim,
+            activation=net.activation,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown estimation_mode {cfg.estimation_mode!r}")

@@ -1,0 +1,157 @@
+"""Kinetic Fokker-Planck inverse problem with a Gaussian-mixture potential.
+
+Ground truth: underdamped Langevin dynamics in the GMM potential
+U(x) = -logsumexp_k(-||x - mu_k||^2 / 2) with friction gamma = 0.5; only the
+initial law is closed-form, so path data comes from the Euler-Maruyama
+simulator (sample_scheme = "SDE").
+
+The reference's *online* SDE sampling path crashes on a tuple-arity bug
+(kinetic_fokker_planck_example_GMM.py:115,133 unpack a 3-tuple into 2
+names); here both online and offline modes are functional and tested.
+
+Parity: /root/reference/example_problems/kinetic_fokker_planck_example_GMM.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.distributions import Gaussian
+from pde_inverse_tpu.models.parametric import GMMMeansModel, recovered_gmm_means
+from pde_inverse_tpu.ops.langevin import simulate_kinetic_langevin
+from pde_inverse_tpu.potentials import GMMPotential
+from pde_inverse_tpu.problems.base import ProblemInstance
+
+
+def make_configuration(dim: int, rng: jax.Array):
+    gamma = 0.5
+    n_gaussian = 3
+    mus = jax.random.uniform(rng, (n_gaussian, dim), minval=-4.0, maxval=4.0)
+    zeros = jnp.zeros((dim, dim))
+    P_0 = jnp.block([[4.0 * jnp.eye(dim), zeros], [zeros, 0.1 * jnp.eye(dim)]])
+    return {
+        "n_Gaussian": n_gaussian,
+        "gamma_friction": gamma,
+        "m_0": jnp.zeros(2 * dim),
+        "P_0": P_0,
+        "m_x_0": jnp.zeros(dim),
+        "P_x_0": 4.0 * jnp.eye(dim),
+        "mus": mus,
+    }
+
+
+class KineticFokkerPlanckGMM(ProblemInstance):
+    sample_scheme = "SDE"
+
+    # Oversampling multiples for the online initial/terminal batches
+    # (parity: …GMM.py:106-107).
+    multiple_init = 30
+    multiple_terminal = 30
+
+    def __init__(self, cfg: Config, rng: jax.Array):
+        super().__init__(cfg, rng)
+        rng_config, rng_dataset = jax.random.split(rng)
+        c = make_configuration(self.dim, rng_config)
+        self.configuration = c
+        self.gamma_friction = c["gamma_friction"]
+        self.potential = GMMPotential.create(c["mus"], jnp.ones([]))
+        self.distribution_initial = Gaussian.create(c["m_0"], c["P_0"])
+        self.distribution_initial_x = Gaussian.create(c["m_x_0"], c["P_x_0"])
+        self.distribution_terminal = None  # only reachable by simulation
+        self.dataset = None
+        if self.sample_mode == "offline":
+            self.dataset = jax.jit(self.generate_ground_truth_dataset)(rng_dataset)
+
+    def V_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.potential.value(x)
+
+    # -- online SDE sampling ---------------------------------------------------
+
+    def sample_ground_truth(self, rng: jax.Array, batch_size: int):
+        """Returns (initial, terminal, path) samples for one step:
+        * initial: multiple_init x batch_size exact draws from the t=0 law,
+        * terminal: multiple_terminal x batch_size particles simulated to T,
+        * path: batch_size trajectories flattened over their n_steps states.
+        """
+        rng_traj, rng_term_sim, rng_i0, rng_i1, rng_i2 = jax.random.split(rng, 5)
+        n_steps = self.cfg.pde_instance.n_steps
+        dt = self.total_evolving_time / n_steps
+
+        z0 = self.distribution_initial.sample(batch_size, rng_i0)
+        _, traj, _ = simulate_kinetic_langevin(
+            rng_traj, z0, n_steps, dt, self.potential.gradient, self.gamma_friction
+        )
+        sample_0T = traj.reshape(-1, 2 * self.dim)
+
+        sample_initial = self.distribution_initial.sample(
+            batch_size * self.multiple_init, rng_i1
+        )
+
+        z0_term = self.distribution_initial.sample(
+            batch_size * self.multiple_terminal, rng_i2
+        )
+        sample_terminal, _, _ = simulate_kinetic_langevin(
+            rng_term_sim,
+            z0_term,
+            n_steps,
+            dt,
+            self.potential.gradient,
+            self.gamma_friction,
+            return_trajectory=False,
+        )
+        return sample_initial, sample_terminal, sample_0T
+
+    # -- offline dataset ---------------------------------------------------------
+
+    def generate_ground_truth_dataset(self, rng: jax.Array) -> dict:
+        """{initial [Ni, 2d], terminal [Nt, 2d], 0T [n_traj, n_steps, 2d],
+        tau_0T [n_traj, n_steps]} (parity: …GMM.py:158-204)."""
+        p = self.cfg.pde_instance
+        rng_init, rng_term0, rng_term1, rng_0T0, rng_0T1 = jax.random.split(rng, 5)
+
+        dataset = {
+            "initial": self.distribution_initial.sample(p.sample_initial_size, rng_init)
+        }
+
+        dt_term = self.total_evolving_time / p.n_steps_terminal
+        z0 = self.distribution_initial.sample(p.sample_terminal_size, rng_term0)
+        dataset["terminal"], _, _ = simulate_kinetic_langevin(
+            rng_term1,
+            z0,
+            p.n_steps_terminal,
+            dt_term,
+            self.potential.gradient,
+            self.gamma_friction,
+            return_trajectory=False,
+        )
+
+        dt_0T = self.total_evolving_time / p.n_steps_0T
+        z0 = self.distribution_initial.sample(p.sample_0T_size, rng_0T0)
+        _, dataset["0T"], dataset["tau_0T"] = simulate_kinetic_langevin(
+            rng_0T1,
+            z0,
+            p.n_steps_0T,
+            dt_0T,
+            self.potential.gradient,
+            self.gamma_friction,
+        )
+        return dataset
+
+    # -- models -------------------------------------------------------------------
+
+    def create_parametric_model(self):
+        return GMMMeansModel(dim=self.dim, n_components=self.configuration["n_Gaussian"])
+
+    def recovered_parameter_rel_l2(self, params):
+        """Rel-L2 of recovered GMM means under the best permutation match
+        (component labels are exchangeable)."""
+        import itertools
+
+        est = jnp.asarray(recovered_gmm_means(params))
+        true = self.configuration["mus"]
+        k = true.shape[0]
+        perms = jnp.array(list(itertools.permutations(range(k))))
+        errs = jax.vmap(lambda p: jnp.linalg.norm(est[p] - true))(perms)
+        return jnp.min(errs) / jnp.linalg.norm(true)

@@ -1,0 +1,131 @@
+"""Kinetic Fokker-Planck inverse problem on a kinetic OU process.
+
+Ground truth: the underdamped Langevin dynamics with quadratic potential
+V_true(x) = 1/2 x^T F~ x and friction gamma,
+    dz = F z dt + sqrt(L) dW,   F = [[0, I], [-F~, -gamma I]],
+    L = diag(0, 2I)
+(so the velocity-Laplacian coefficient of the kinetic FPE is 1).  The path
+law is Gaussian; moments come from the exact Van Loan matrix-exponential
+oracle (``ops.ou.lti_moments``) instead of the reference's odeint-inside-
+the-traced-step (kinetic_fokker_planck_example_OU.py:73-93,147-156).
+
+Grid-time sampling supports any number of time stamps — the reference
+asserts n_time_stamps == 1 because its reshape scrambles (sample, time)
+axes for n > 1 (…OU.py:176-190); here the layout is an explicit transpose.
+
+Parity: /root/reference/example_problems/kinetic_fokker_planck_example_OU.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.distributions import Gaussian
+from pde_inverse_tpu.models.parametric import QuadraticFormModel, recovered_quadratic_matrix
+from pde_inverse_tpu.ops import ou
+from pde_inverse_tpu.problems.base import BatchSpec, ProblemInstance
+
+_TRUTH_SEED = 2217
+
+
+def make_configuration(dim: int, gamma: float = 1.0):
+    _F = jax.random.normal(jax.random.PRNGKey(_TRUTH_SEED), (dim, dim + 1))
+    tilde_F = _F @ _F.T  # symmetric => gradient field
+    zeros = jnp.zeros((dim, dim))
+    eye = jnp.eye(dim)
+    F = jnp.block([[zeros, eye], [-tilde_F, -gamma * eye]])
+    L = jnp.block([[zeros, zeros], [zeros, 2.0 * eye]])
+    m_0 = jnp.zeros(2 * dim)
+    P_0 = jnp.block([[eye, zeros], [zeros, eye]])
+    return {
+        "gamma_friction": gamma,
+        "tilde_F": tilde_F,
+        "F": F,
+        "L": L,
+        "m_0": m_0,
+        "P_0": P_0,
+        "m_x_0": jnp.zeros(dim),
+        "P_x_0": eye,
+    }
+
+
+class KineticFokkerPlanckOU(ProblemInstance):
+    sample_scheme = "exact"
+
+    def __init__(self, cfg: Config, rng: jax.Array):
+        super().__init__(cfg, rng)
+        c = make_configuration(self.dim)
+        self.configuration = c
+        self.gamma_friction = c["gamma_friction"]
+        self.tilde_F = c["tilde_F"]
+        self.oracle = ou.GaussianPathOracle(
+            A=c["F"], L=c["L"], m0=c["m_0"], P0=c["P_0"]
+        )
+        self.distribution_initial = Gaussian.create(c["m_0"], c["P_0"])
+        self.distribution_initial_x = Gaussian.create(c["m_x_0"], c["P_x_0"])
+        mT, PT = self.oracle.moments(self.total_evolving_time)
+        self.distribution_terminal = Gaussian.create(mT, PT)
+
+    # -- truth ---------------------------------------------------------------
+
+    def V_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
+        return 0.5 * jnp.einsum("...i,ij,...j->...", x, self.tilde_F, x)
+
+    # -- sampling ------------------------------------------------------------
+
+    def _grid_times(self, rng: jax.Array, n_time_stamps: int) -> jnp.ndarray:
+        """Stratified random stamps: stamp i ~ i*T/n + U[0, T/n).
+        (Parity: …OU.py:158-173 time-shift scheme.)"""
+        shift = jax.random.uniform(rng, (n_time_stamps,)) * (
+            self.total_evolving_time / n_time_stamps
+        )
+        base = jnp.linspace(0.0, float(self.total_evolving_time), n_time_stamps + 1)[
+            :-1
+        ]
+        return base + shift
+
+    def _sample_at_times(
+        self, rng: jax.Array, ts: jnp.ndarray, per_time: int
+    ) -> jnp.ndarray:
+        """[per_time, n_time, D] samples from the exact Gaussian law at ts."""
+        means, covs = self.oracle.moments_grid(ts)  # [nt, D], [nt, D, D]
+        chols = jnp.linalg.cholesky(covs)
+        eps = jax.random.normal(rng, (per_time, ts.shape[0], 2 * self.dim))
+        return jnp.einsum("tij,ntj->nti", chols, eps) + means
+
+    def sample_ground_truth(self, rng: jax.Array, batch_size: BatchSpec):
+        if isinstance(batch_size, int):
+            # random-time mode: batch // per_time distinct times, a block of
+            # samples at each (parity: …OU.py:141-156, per_time = 100).
+            per_time = 100
+            if batch_size < 2 * per_time:
+                raise ValueError("random-time mode needs batch_size >= 200")
+            n_times = batch_size // per_time
+            rng_t, rng_x = jax.random.split(rng)
+            ts = self.distribution_time.sample(n_times, rng_t)
+        else:
+            n_times, per_time = batch_size
+            rng_t, rng_x = jax.random.split(rng)
+            ts = self._grid_times(rng_t, n_times)
+        samples = self._sample_at_times(rng_x, ts, per_time)  # [p, nt, D]
+        return samples.reshape(-1, 2 * self.dim)
+
+    def get_time_sample_ground_truth(self, rng: jax.Array, batch_size: BatchSpec):
+        """Time stamps aligned with sample_ground_truth under the same rng."""
+        rng_t, _ = jax.random.split(rng)
+        if isinstance(batch_size, int):
+            return self.distribution_time.sample(batch_size // 100, rng_t)
+        return self._grid_times(rng_t, batch_size[0])
+
+    # -- models ----------------------------------------------------------------
+
+    def create_parametric_model(self):
+        return QuadraticFormModel(dim=self.dim)
+
+    def recovered_parameter_rel_l2(self, params):
+        est = recovered_quadratic_matrix(params)
+        return jnp.linalg.norm(est - self.tilde_F) / jnp.linalg.norm(self.tilde_F)

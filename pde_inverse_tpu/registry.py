@@ -1,0 +1,43 @@
+"""Explicit string -> class registries.
+
+Parity: /root/reference/registry.py — with the `return NotImplementedError`
+bug (registry.py:26) fixed to raise a proper KeyError.
+"""
+
+from __future__ import annotations
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.problems import (
+    FokkerPlanck,
+    KineticFokkerPlanckGMM,
+    KineticFokkerPlanckOU,
+    KineticMcKeanVlasovQuadratic,
+)
+
+PDE_INSTANCES = {
+    ("Fokker-Planck", "Quadratic"): FokkerPlanck,
+    ("Kinetic-Fokker-Planck", "Quadratic"): KineticFokkerPlanckOU,
+    ("Kinetic-Fokker-Planck", "GMM"): KineticFokkerPlanckGMM,
+    ("Kinetic-McKean-Vlasov", "Quadratic"): KineticMcKeanVlasovQuadratic,
+}
+
+
+def get_pde_instance(cfg: Config):
+    key = (cfg.pde_instance.name, cfg.pde_instance.potential)
+    if key not in PDE_INSTANCES:
+        raise KeyError(
+            f"no PDE instance for name={key[0]!r} potential={key[1]!r}; "
+            f"available: {sorted(PDE_INSTANCES)}"
+        )
+    return PDE_INSTANCES[key]
+
+
+def get_method(cfg: Config):
+    from pde_inverse_tpu.methods import ConsistencyBased
+
+    methods = {"ConsistencyBased": ConsistencyBased}
+    if cfg.solver.name not in methods:
+        raise KeyError(
+            f"unknown solver {cfg.solver.name!r}; available: {sorted(methods)}"
+        )
+    return methods[cfg.solver.name]

@@ -1,0 +1,218 @@
+"""Scan-chunked, mesh-sharded training loop.
+
+The reference trainer (core/trainer.py:31-132) dispatches one jitted grad
+step per Python-loop iteration with two host syncs per step (a NaN assert
+and a wandb log).  Here K optimizer steps are fused into ONE jitted
+``lax.scan`` chunk with donated carry:
+
+* data sampling, loss/grad, optimizer update, EMA — all inside the scan;
+* per-step scalar metrics are stacked and returned once per chunk (one host
+  sync per K steps; NaN checking happens on the stacked array);
+* per-step batches are sharded over the mesh's data axis; gradients reduce
+  across shards via GSPMD-inserted ICI collectives — replacing the
+  reference's pmap + host tree-mean (core/trainer.py:44-53);
+* EMA engages at a configurable step with a state reset, matching the
+  reference's hardcoded epoch-40000 switch (core/trainer.py:88-103), but
+  implemented with ``lax.cond`` inside the compiled step;
+* Orbax checkpointing honors the reference's dormant ``save_and_load``
+  config block (configurations/config.yaml:9-14).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pde_inverse_tpu.config import Config
+from pde_inverse_tpu.ops.autodiff import pytree_l2_norm
+from pde_inverse_tpu.parallel.mesh import MeshSpec, replicate
+from pde_inverse_tpu.training.metrics import MetricWriter, NullWriter
+from pde_inverse_tpu.training.optimizers import get_optimizer
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        method,
+        rng: jax.Array,
+        forward_fn: Callable,
+        params,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        mesh_spec: Optional[MeshSpec] = None,
+        writer: Optional[MetricWriter] = None,
+    ):
+        self.cfg = cfg
+        self.method = method
+        self.rng = rng
+        self.forward_fn = forward_fn
+        self.params = params
+        self.optimizer = optimizer or get_optimizer(cfg.train.optimizer)
+        self.mesh_spec = mesh_spec
+        self.writer = writer or NullWriter()
+        if mesh_spec is not None and hasattr(method, "mesh_spec"):
+            method.mesh_spec = mesh_spec
+
+    # -- compiled chunk --------------------------------------------------------
+
+    def _build_chunk_fn(self):
+        opt = self.optimizer
+        ocfg = self.cfg.train.optimizer
+        use_ema = ocfg.use_ema
+        ema = optax.ema(ocfg.ema_decay)
+        switch = ocfg.ema_switch_step
+
+        def value_and_grad(params, rng):
+            return self.method.value_and_grad_fn(self.forward_fn, params, rng)
+
+        def one_step(carry, rng):
+            params, opt_state, ema_state, step_idx = carry
+            out = value_and_grad(params, rng)
+            grad = out.pop("grad")
+            updates, opt_state = opt.update(grad, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            if use_ema:
+                # Reset the EMA state to the current params at the switch
+                # step, then track: params <- ema(params).
+                def engage(args):
+                    p, es = args
+                    es = jax.lax.cond(
+                        step_idx == switch,
+                        lambda s: optax.EmaState(
+                            count=jnp.zeros([], jnp.int32), ema=p
+                        ),
+                        lambda s: s,
+                        es,
+                    )
+                    _, es = ema.update(p, es)
+                    return es.ema, es
+
+                def passthrough(args):
+                    return args
+
+                params, ema_state = jax.lax.cond(
+                    step_idx >= switch, engage, passthrough, (params, ema_state)
+                )
+
+            metrics = {k: v for k, v in out.items()}
+            metrics["params_norm"] = pytree_l2_norm(params)
+            return (params, opt_state, ema_state, step_idx + 1), metrics
+
+        def chunk(carry, rngs):
+            return jax.lax.scan(one_step, carry, rngs)
+
+        return jax.jit(chunk, donate_argnums=(0,))
+
+    # -- checkpointing -----------------------------------------------------------
+
+    def _checkpoint_manager(self):
+        sl = self.cfg.save_and_load
+        if not (sl.save_model or sl.load_model):
+            return None
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(sl.model_directory)
+        os.makedirs(path, exist_ok=True)
+        return ocp.CheckpointManager(path)
+
+    # -- fit -------------------------------------------------------------------------
+
+    def fit(self) -> Any:
+        cfg = self.cfg
+        n_iters = cfg.train.number_of_iterations
+        k = min(cfg.train.steps_per_chunk, n_iters)
+        chunk_fn = self._build_chunk_fn()
+
+        params = self.params
+        opt_state = self.optimizer.init(params)
+        ema_state = optax.ema(cfg.train.optimizer.ema_decay).init(params)
+        if self.mesh_spec is not None:
+            params = replicate(params, self.mesh_spec)
+            opt_state = replicate(opt_state, self.mesh_spec)
+            ema_state = replicate(ema_state, self.mesh_spec)
+
+        test_jit = jax.jit(
+            lambda p, r: self.method.test_fn(self.forward_fn, p, r)
+        )
+
+        mgr = self._checkpoint_manager()
+        start_step = 0
+        if mgr is not None and cfg.save_and_load.load_model:
+            latest = mgr.latest_step()
+            if latest is not None:
+                import orbax.checkpoint as ocp
+
+                restored = mgr.restore(
+                    latest,
+                    args=ocp.args.StandardRestore(
+                        {"params": params, "opt_state": opt_state}
+                    ),
+                )
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                start_step = latest
+                print(f"[trainer] resumed from checkpoint step {latest}")
+
+        carry = (params, opt_state, ema_state, jnp.asarray(start_step, jnp.int32))
+        rngs = jax.random.split(self.rng, n_iters)
+
+        step = start_step
+        t_start = time.perf_counter()
+        while step < n_iters:
+            this_k = min(k, n_iters - step)
+            # A ragged final chunk just triggers one extra jit specialization.
+            chunk_rngs = rngs[step : step + this_k]
+            carry, metrics = chunk_fn(carry, chunk_rngs)
+            step += this_k
+
+            host_metrics = jax.tree_util.tree_map(np.asarray, metrics)
+            loss = host_metrics["loss"]
+            if not np.isfinite(loss).all():
+                bad = int(np.argmax(~np.isfinite(loss)))
+                raise FloatingPointError(
+                    f"non-finite loss at step {step - this_k + bad}"
+                )
+            self.writer.log_chunk(host_metrics, first_step=step - this_k)
+
+            # test / verbose / checkpoint cadence at chunk granularity
+            if (step // k) % max(1, cfg.test.frequency // k) == 0 or step >= n_iters:
+                test_metrics = test_jit(carry[0], jax.random.fold_in(self.rng, step))
+                test_metrics = {
+                    key: float(v) for key, v in jax.tree_util.tree_map(
+                        np.asarray, test_metrics
+                    ).items()
+                }
+                if test_metrics:
+                    self.writer.log(test_metrics, step=step)
+                if cfg.test.verbose:
+                    rate = step / (time.perf_counter() - t_start)
+                    msg = f"[step {step:6d} | {rate:8.1f} steps/s] "
+                    msg += f"loss {loss[-1]:.3e} "
+                    msg += " ".join(f"{key}={v:.3e}" for key, v in test_metrics.items())
+                    print(msg)
+
+            if (
+                mgr is not None
+                and cfg.save_and_load.save_model
+                and (step % cfg.save_and_load.save_frequency < k or step >= n_iters)
+            ):
+                import orbax.checkpoint as ocp
+
+                mgr.save(
+                    step,
+                    args=ocp.args.StandardSave(
+                        {"params": carry[0], "opt_state": carry[1]}
+                    ),
+                )
+
+        if mgr is not None:
+            mgr.wait_until_finished()
+        self.params = carry[0]
+        return self.params

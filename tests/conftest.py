@@ -1,0 +1,37 @@
+"""Test harness: force an 8-device virtual CPU platform before JAX loads.
+
+This is the standard trick for exercising TPU sharding logic without
+hardware (SURVEY.md §4): every sharding test sees 8 devices in a mesh.
+"""
+
+import os
+
+# Force CPU even if the ambient environment pins a TPU platform
+# (JAX_PLATFORMS=axon): unit tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Belt and braces: installed pytest plugins may import jax before this
+# conftest runs, making the env vars above too late — the config update
+# still wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU platform, got "
+    f"{jax.devices()[0].platform}"
+)
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)

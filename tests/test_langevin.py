@@ -1,0 +1,72 @@
+"""Tests for the kinetic Langevin EM simulator.
+
+Gate: for a quadratic potential the simulated law must match the exact
+Gaussian OU moments from the Van Loan oracle (weak order-1 EM accuracy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_inverse_tpu.ops import langevin as lv
+from pde_inverse_tpu.ops import ou
+from pde_inverse_tpu.potentials import QuadraticPotential
+
+
+def _kinetic_setup(d=2, gamma=1.0):
+    _F = jax.random.normal(jax.random.PRNGKey(2217), (d, d + 1))
+    tilde_F = _F @ _F.T / d
+    F = jnp.block([[jnp.zeros((d, d)), jnp.eye(d)], [-tilde_F, -gamma * jnp.eye(d)]])
+    L = jnp.block(
+        [[jnp.zeros((d, d)), jnp.zeros((d, d))], [jnp.zeros((d, d)), 2.0 * jnp.eye(d)]]
+    )
+    m0 = jnp.zeros(2 * d)
+    P0 = jnp.eye(2 * d)
+    return tilde_F, F, L, m0, P0
+
+
+class TestLangevin:
+    def test_shapes_and_time_stamps(self, rng):
+        d, n, n_steps = 2, 64, 10
+        dt = 0.05
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jax.random.normal(rng, (n, 2 * d))
+        final, traj, taus = lv.simulate_kinetic_langevin(
+            rng, z0, n_steps, dt, pot.gradient, gamma=1.0
+        )
+        assert final.shape == (n, 2 * d)
+        assert traj.shape == (n, n_steps, 2 * d)
+        assert taus.shape == (n, n_steps)
+        # taus[i] = tau0_i + k dt with tau0 in [0, dt)
+        np.testing.assert_allclose(
+            taus[:, 1:] - taus[:, :-1], dt, rtol=1e-5
+        )
+        assert (taus[:, 0] >= 0).all() and (taus[:, 0] < dt).all()
+
+    def test_no_trajectory_mode(self, rng):
+        d, n = 2, 32
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jnp.zeros((n, 2 * d))
+        final, traj, taus = lv.simulate_kinetic_langevin(
+            rng, z0, 5, 0.1, pot.gradient, gamma=1.0, return_trajectory=False
+        )
+        assert traj is None and taus is None
+        assert final.shape == (n, 2 * d)
+
+    def test_quadratic_matches_ou_moments(self, rng):
+        """EM simulation of the kinetic OU must reproduce the exact Gaussian
+        moments at T (weak convergence gate)."""
+        d = 2
+        gamma = 1.0
+        tilde_F, F, L, m0, P0 = _kinetic_setup(d, gamma)
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.linalg.inv(tilde_F))
+
+        T = 1.0
+        n_steps = 400
+        n = 100_000
+        z0 = jax.random.normal(rng, (n, 2 * d))  # N(0, I) = N(m0, P0)
+        final, _, _ = lv.simulate_kinetic_langevin(
+            jax.random.fold_in(rng, 1), z0, n_steps, T / n_steps, pot.gradient, gamma
+        )
+        mean_exact, cov_exact = ou.lti_moments(F, L, m0, P0, jnp.float32(T))
+        np.testing.assert_allclose(final.mean(0), mean_exact, atol=0.05)
+        np.testing.assert_allclose(jnp.cov(final.T), cov_exact, atol=0.08)

@@ -1,0 +1,280 @@
+"""Loss-semantics tests.
+
+Each consistency loss is checked against an independent naive
+implementation written inline here (direct vmapped autodiff of the
+reference's五-term formulas), so refactors of the fused/chunked versions are
+gated by exact-semantics equality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_inverse_tpu.config import Config, apply_overrides
+from pde_inverse_tpu.losses import fokker_planck as fp_loss
+from pde_inverse_tpu.losses import kinetic_fokker_planck as kfp_loss
+from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.problems import (
+    FokkerPlanck,
+    KineticFokkerPlanckOU,
+    KineticMcKeanVlasovQuadratic,
+)
+
+
+def _cfg(name, dim=2, **extra):
+    overrides = [
+        f"pde_instance.name={name}",
+        f"pde_instance.domain_dim={dim}",
+        "pde_instance.total_evolving_time=2",
+    ] + [f"{k}={v}" for k, v in extra.items()]
+    return apply_overrides(Config(), overrides)
+
+
+def _hvp_quad_naive(V, x, v):
+    def one(xi, vi):
+        g = jax.grad(V)
+        _, hv = jax.jvp(g, (xi,), (vi,))
+        return jnp.dot(vi, hv)
+
+    return jax.vmap(one)(x, v)
+
+
+class TestKFPLoss:
+    def test_matches_naive_formula(self, rng):
+        dim = 2
+        cfg = _cfg("Kinetic-Fokker-Planck", dim)
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        net = inst.create_parametric_model()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
+
+        keys = jax.random.split(rng, 3)
+        data = {
+            "initial": inst.distribution_initial.sample(64, keys[0]),
+            "terminal": inst.distribution_terminal.sample(64, keys[1]),
+            "0T": inst.sample_ground_truth(keys[2], (4, 32)),
+        }
+
+        out = kfp_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+
+        # naive independent implementation
+        V = lambda x: net.apply(params, x)[0]
+        xi, vi = jnp.split(data["initial"], 2, -1)
+        xt, vt = jnp.split(data["terminal"], 2, -1)
+        x0, v0 = jnp.split(data["0T"], 2, -1)
+        nab = jax.vmap(jax.grad(V))
+        nab_true = jax.vmap(jax.grad(inst.V_true_fn))
+        T = inst.total_evolving_time
+        g = inst.gamma_friction
+        expected = (
+            jnp.mean(jnp.sum(nab(x0) ** 2, -1))
+            - 2 * jnp.mean(_hvp_quad_naive(V, x0, v0))
+            + 2 * g * jnp.mean(jnp.sum(nab(x0) * v0, -1))
+            + jnp.mean(jnp.sum(nab_true(x0) ** 2, -1))
+            + (
+                2 * jnp.mean(jnp.sum(nab(xt) * vt, -1))
+                - 2 * jnp.mean(jnp.sum(nab(xi) * vi, -1))
+            )
+            / T
+        )
+        np.testing.assert_allclose(out["loss"], expected, rtol=1e-5)
+        assert jnp.isfinite(out["grad_norm"])
+        assert out["loss ground truth"] >= 0
+
+    def test_gap_zero_at_truth(self, rng):
+        """With the parametric model initialized AT the true drift, the
+        ground-truth diagnostic must vanish."""
+        dim = 2
+        cfg = _cfg("Kinetic-Fokker-Planck", dim)
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        net = inst.create_parametric_model()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
+        # set W = tilde_F / 2 (so W + W^T = tilde_F), b = 0
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params = {
+            "params": {
+                "F": {
+                    "kernel": inst.tilde_F / 2.0,
+                    "bias": jnp.zeros(dim),
+                }
+            }
+        }
+        data = {
+            "initial": inst.distribution_initial.sample(32, rng),
+            "terminal": inst.distribution_terminal.sample(32, rng),
+            "0T": inst.sample_ground_truth(rng, (2, 16)),
+        }
+        out = kfp_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+        np.testing.assert_allclose(out["loss ground truth"], 0.0, atol=1e-9)
+
+
+class TestFPLoss:
+    def test_matches_naive_formula(self, rng):
+        dim = 3
+        cfg = _cfg("Fokker-Planck", dim)
+        inst = FokkerPlanck(cfg, rng)
+        net = inst.create_parametric_model()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
+        keys = jax.random.split(rng, 3)
+        data = {
+            "initial": inst.distribution_initial.sample(64, keys[0]),
+            "terminal": inst.distribution_terminal.sample(64, keys[1]),
+            "0T": inst.sample_ground_truth(keys[2], 128),
+        }
+        out = fp_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+
+        V = lambda x: net.apply(params, x)[0]
+        lap = jax.vmap(lambda xi: jnp.trace(jax.hessian(V)(xi)))
+        nab = jax.vmap(jax.grad(V))
+        nab_true = jax.vmap(jax.grad(inst.V_true_fn))
+        T = inst.total_evolving_time
+        expected = (
+            jnp.mean(jnp.sum(nab(data["0T"]) ** 2, -1))
+            - 2 * jnp.mean(lap(data["0T"]))
+            + jnp.mean(jnp.sum(nab_true(data["0T"]) ** 2, -1))
+            + (
+                2 * jnp.mean(jax.vmap(V)(data["terminal"]))
+                - 2 * jnp.mean(jax.vmap(V)(data["initial"]))
+            )
+            / T
+        )
+        np.testing.assert_allclose(out["loss"], expected, rtol=1e-4)
+
+    def test_test_fn_small_at_truth(self, rng):
+        dim = 2
+        cfg = _cfg("Fokker-Planck", dim)
+        inst = FokkerPlanck(cfg, rng)
+        net = inst.create_parametric_model()
+        params = {
+            "params": {"F": {"kernel": inst.F / 2.0, "bias": jnp.zeros(dim)}}
+        }
+        from functools import partial
+
+        metrics = fp_loss.test_fn(partial(net.apply, params), inst, rng, batch_size=256)
+        for v in metrics.values():
+            assert v < 1e-5
+
+
+class TestKMVLoss:
+    def _setup(self, rng, n=24, n_time=3, dim=2):
+        cfg = _cfg("Kinetic-McKean-Vlasov", dim)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        net = inst.create_parametric_model()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
+        data = {
+            "0T": inst.sample_ground_truth(rng, (n_time, n)),
+            "tau_0T": inst.get_time_sample_ground_truth(rng, (n_time, n)),
+        }
+        return inst, net, params, data
+
+    def test_chunked_matches_naive_pairwise(self, rng):
+        """The chunked ref-axis scan must equal the naive full [m,n,t,d]
+        pairwise-tensor implementation exactly."""
+        inst, net, params, data = self._setup(rng)
+        out = kmv_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+
+        # naive implementation with full pairwise tensor
+        taus = data["tau_0T"]
+        nt = taus.shape[0]
+        x, v = jnp.split(data["0T"], 2, -1)
+        d = x.shape[-1]
+        x = x.reshape(-1, nt, d)
+        v = v.reshape(-1, nt, d)
+        diff = x[None] - x[:, None]  # [m, n, nt, d]
+
+        Phi = lambda xx: net.apply(params, xx)[0]
+        val3 = jax.vmap(jax.vmap(jax.vmap(Phi)))
+        grad3 = jax.vmap(jax.vmap(jax.vmap(jax.grad(Phi))))
+
+        def quad(xi, vi):
+            _, hv = jax.jvp(jax.grad(Phi), (xi,), (vi,))
+            return jnp.dot(vi, hv)
+
+        quad3 = jax.vmap(jax.vmap(jax.vmap(quad, (0, 0)), (0, 0)), (0, None))
+        grad3_true = jax.vmap(jax.vmap(jax.vmap(jax.grad(inst.Phi_true_fn))))
+
+        w = jax.vmap(
+            lambda s, xs: inst.partial_s2_log_density_fn(s, xs)
+            + inst.partial_s_log_density_fn(s, xs) ** 2
+            + inst.gamma_friction * inst.partial_s_log_density_fn(s, xs),
+            in_axes=(0, 1),
+            out_axes=1,
+        )(taus, x)  # [n, nt]
+
+        loss_nabla = jnp.mean(jnp.sum(jnp.mean(grad3(diff), 0) ** 2, -1))
+        loss_hess = jnp.mean(jnp.mean(quad3(diff, v), 0))
+        loss_value = jnp.mean(jnp.mean(val3(diff), 0) * w)
+        loss_true = jnp.mean(jnp.sum(jnp.mean(grad3_true(diff), 0) ** 2, -1))
+        expected = loss_nabla - 2 * loss_hess + 2 * loss_value + loss_true
+
+        np.testing.assert_allclose(out["loss"], expected, rtol=2e-4)
+
+    def test_chunk_padding_consistency(self, rng):
+        """Chunk sizes that do and don't divide m must agree (mask path)."""
+        inst, net, params, data = self._setup(rng, n=10)
+        l_full, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=10)
+        l_c3, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=3)
+        l_c4, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=4)
+        a, b, c = l_full(params), l_c3(params), l_c4(params)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+        np.testing.assert_allclose(a, c, rtol=1e-5)
+
+    def test_gap_zero_at_truth(self, rng):
+        inst, net, params, data = self._setup(rng)
+        dim = 2
+        params = {
+            "params": {"F": {"kernel": inst.tilde_F / 2.0, "bias": jnp.zeros(dim)}}
+        }
+        _, gap_fn = kmv_loss.make_loss_fn(net.apply, data, inst)
+        np.testing.assert_allclose(gap_fn(params), 0.0, atol=1e-8)
+
+
+class TestSampleDataPolicy:
+    def test_online_exact_grid(self, rng):
+        cfg = _cfg(
+            "Kinetic-Fokker-Planck",
+            2,
+            **{
+                "solver.train.sample_mode": "grid_time",
+                "solver.train.n_time_stamps": 4,
+                "solver.train.sample_per_time": 8,
+                "solver.train.batch_size_init": 16,
+                "solver.train.batch_size_terminal": 16,
+            },
+        )
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = method.sample_data(rng)
+        assert data["initial"].shape == (16, 4)
+        assert data["0T"].shape == (32, 4)
+        assert data["tau_0T"].shape == (4,)
+        # times aligned: 0T reshaped [per, nt, D] means column j drawn at tau j
+        x = data["0T"].reshape(8, 4, 4)
+        # stamps are increasing and within (0, T]
+        taus = data["tau_0T"]
+        assert (jnp.diff(taus) > 0).all()
+        assert (taus >= 0).all() and (taus <= 2.0).all()
+
+    def test_grid_sample_layout_statistics(self, rng):
+        """Column j of the reshaped grid batch must follow the law at tau_j:
+        catches the reference's scramble-reshape bug (…OU.py:176-190)."""
+        cfg = _cfg(
+            "Kinetic-Fokker-Planck",
+            2,
+            **{
+                "solver.train.sample_mode": "grid_time",
+                "solver.train.n_time_stamps": 3,
+                "solver.train.sample_per_time": 4096,
+            },
+        )
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        samples = inst.sample_ground_truth(rng, (3, 4096))
+        taus = inst.get_time_sample_ground_truth(rng, (3, 4096))
+        z = samples.reshape(4096, 3, 4)
+        means, covs = inst.oracle.moments_grid(taus)
+        for j in range(3):
+            np.testing.assert_allclose(z[:, j].mean(0), means[j], atol=0.15)
+            np.testing.assert_allclose(
+                jnp.cov(z[:, j].T), covs[j], atol=0.25
+            )
