@@ -1,0 +1,277 @@
+"""Pallas TPU kernel for the Euler-Maruyama kinetic Langevin simulator.
+
+Why a kernel (SURVEY.md §7, BASELINE.json north star): the XLA-scan
+simulator round-trips the whole particle state through HBM every step and —
+on the tunneled backend — compiles pathologically slowly for long scans.
+This kernel keeps a block of particles (q, p) resident in VMEM for ALL
+n_steps, generates its Gaussian noise on-core with the TPU PRNG
+(Box-Muller over `pltpu.prng_random_bits`), and either discards or writes
+the trajectory block incrementally.  HBM traffic drops from
+O(n_steps * state) to O(state) (+ trajectory output if requested).
+
+Layout: particles live on the LANE axis — state blocks are [d, B] with
+B a multiple of 128 — so every elementwise op and the k-component GMM
+gradient reduction are lane-aligned VPU ops (the natural [n, d] layout puts
+d = 2..8 on lanes and wastes 94% of each register).
+
+Semantics match ops.langevin.simulate_kinetic_langevin (reference
+utils/sampling_utils.py:6-52): per-particle random phase tau0 ~ U[0, dt),
+trajectory states at tau0 + k dt for k < n_steps, closing partial step to
+exactly n_steps * dt.  The PRNG stream differs from jax.random (tested
+distributionally against the exact OU law).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pde_inverse_tpu.potentials import GMMPotential, Potential, QuadraticPotential
+
+_TWO_PI = 6.283185307179586
+_INV_2_24 = 1.0 / (1 << 24)
+
+DEFAULT_BLOCK = 512
+
+
+def pallas_supported_potential(potential: Potential) -> bool:
+    return isinstance(potential, (GMMPotential, QuadraticPotential))
+
+
+def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 uniform in (0, 1]: top 24 bits scaled, never 0.
+    (Mosaic lacks a uint32->f32 cast; go through int32, which is exact for
+    24-bit values.)"""
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * _INV_2_24
+    return jnp.maximum(u, _INV_2_24)
+
+
+def _normal(shape) -> jnp.ndarray:
+    """Standard normals via Box-Muller from the core PRNG."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _grad_fn_lane_layout(potential: Potential):
+    """(param_arrays, grad) where grad(q [d,B], *param_refs) -> [d,B].
+
+    Pallas forbids captured array constants, so the (small) potential
+    parameters ride along as replicated VMEM inputs."""
+    if isinstance(potential, QuadraticPotential):
+        params = [potential.inv_cov, potential.mu[:, None]]
+
+        def grad(q, inv_cov_ref, mu_ref):  # [d, B]
+            return jnp.dot(
+                inv_cov_ref[:, :],
+                q - mu_ref[:, :],
+                preferred_element_type=jnp.float32,
+            )
+
+        return params, grad
+    if isinstance(potential, GMMPotential):
+        k = potential.mus.shape[0]
+        inv_s2 = 1.0 / float(potential.sigma) ** 2
+        params = [potential.mus.T]  # [d, k]
+
+        def grad(q, mus_ref):  # [d, B]
+            mus = mus_ref[:, :]
+            # static unroll over the k components; all ops are [B]-lane 2-D
+            energies = []
+            diffs = []
+            for i in range(k):
+                diff = q - mus[:, i : i + 1]  # [d, B]
+                diffs.append(diff)
+                energies.append(-0.5 * inv_s2 * jnp.sum(diff * diff, axis=0))
+            e = jnp.stack(energies)  # [k, B]
+            m = jnp.max(e, axis=0)
+            w = jnp.exp(e - m)  # [k, B]
+            z = jnp.sum(w, axis=0)  # [B]
+            acc = w[0] * diffs[0]
+            for i in range(1, k):
+                acc = acc + w[i] * diffs[i]
+            return acc * (inv_s2 / z)
+
+        return params, grad
+    raise NotImplementedError(
+        f"no Pallas lane-layout gradient for {type(potential).__name__}; "
+        "use the XLA-scan simulator"
+    )
+
+
+def _kernel(
+    seed_ref,
+    z0_ref,
+    *rest,
+    grad_fn_raw,
+    n_steps: int,
+    dt: float,
+    gamma: float,
+    d: int,
+    with_trajectory: bool,
+    random_phase: bool,
+    noise_scale: float,
+):
+    *param_refs, final_ref, traj_ref, tau_ref = rest
+    grad_fn = lambda q: grad_fn_raw(q, *param_refs)
+
+    # one independent stream per particle block
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    q = z0_ref[:d, :]
+    p = z0_ref[d:, :]
+    B = q.shape[1]
+
+    if random_phase:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+        tau0 = _uniform_from_bits(bits) * dt  # (0, dt]; matches U[0,dt) a.s.
+    else:
+        tau0 = jnp.zeros((1, B), jnp.float32)
+    tau_ref[:, :] = tau0
+
+    def em_step(q, p, step_dt):
+        # step_dt: scalar or [1, B] (broadcasts over the d axis)
+        noise = noise_scale * _normal((d, B)) if noise_scale else jnp.zeros((d, B))
+        p_new = (
+            p
+            - step_dt * grad_fn(q)
+            + jnp.sqrt(2.0 * step_dt) * noise
+            - gamma * p * step_dt
+        )
+        q_new = q + step_dt * p_new
+        return q_new, p_new
+
+    # phase step onto the first grid time tau0
+    q, p = em_step(q, p, tau0)
+
+    if with_trajectory:
+        traj_ref[0, :d, :] = q
+        traj_ref[0, d:, :] = p
+
+    def body(i, carry):
+        q, p = carry
+        q, p = em_step(q, p, dt)
+        if with_trajectory:
+            traj_ref[i, :d, :] = q
+            traj_ref[i, d:, :] = p
+        return q, p
+
+    q, p = jax.lax.fori_loop(1, n_steps, body, (q, p))
+
+    # closing partial step lands exactly on n_steps * dt
+    q, p = em_step(q, p, dt - tau0)
+    final_ref[:d, :] = q
+    final_ref[d:, :] = p
+
+
+def langevin_pallas(
+    seed: jax.Array,
+    z0: jnp.ndarray,
+    n_steps: int,
+    dt: float,
+    potential: Potential,
+    gamma: float,
+    return_trajectory: bool = False,
+    random_phase: bool = True,
+    noise_scale: float = 1.0,
+    block: int = DEFAULT_BLOCK,
+    interpret=False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Drop-in analogue of ops.langevin.simulate_kinetic_langevin with a
+    Pallas core.  z0: [n, 2d]; seed: int32 scalar (one PRNG stream per
+    particle block).  Returns (final [n, 2d], trajectory [n, n_steps, 2d]
+    or None, taus [n, n_steps] or None)."""
+    n, two_d = z0.shape
+    d = two_d // 2
+    dt = float(dt)
+    if interpret is True:
+        # plain interpret mode lacks the TPU PRNG primitives; use the TPU
+        # interpreter (works on CPU — the test-suite path)
+        interpret = pltpu.InterpretParams()
+
+    if return_trajectory:
+        # keep the per-block trajectory buffer within ~8 MB of VMEM
+        budget = 8 * 1024 * 1024 // (n_steps * two_d * 4)
+        block = max(128, min(block, (budget // 128) * 128))
+
+    # lane layout + pad the particle axis to a block multiple
+    n_pad = -(-n // block) * block
+    zT = jnp.zeros((two_d, n_pad), z0.dtype).at[:, :n].set(z0.T)
+
+    param_arrays, grad_fn = _grad_fn_lane_layout(potential)
+    kernel = functools.partial(
+        _kernel,
+        grad_fn_raw=grad_fn,
+        n_steps=n_steps,
+        dt=dt,
+        gamma=gamma,
+        d=d,
+        with_trajectory=return_trajectory,
+        random_phase=random_phase,
+        noise_scale=noise_scale,
+    )
+
+    grid = (n_pad // block,)
+    traj_shape = (
+        jax.ShapeDtypeStruct((n_steps, two_d, n_pad), z0.dtype)
+        if return_trajectory
+        else jax.ShapeDtypeStruct((1, two_d, block), z0.dtype)  # dummy
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((two_d, n_pad), z0.dtype),  # final
+        traj_shape,
+        jax.ShapeDtypeStruct((1, n_pad), z0.dtype),  # tau0
+    )
+    traj_spec = (
+        pl.BlockSpec(
+            (n_steps, two_d, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        if return_trajectory
+        else pl.BlockSpec(
+            (1, two_d, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
+
+    param_specs = [
+        pl.BlockSpec(
+            tuple(a.shape), lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+        for a in param_arrays
+    ]
+    final_T, traj, tau0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((two_d, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((two_d, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            traj_spec,
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        zT,
+        *[jnp.asarray(a, z0.dtype) for a in param_arrays],
+    )
+
+    final = final_T.T[:n]
+    if not return_trajectory:
+        return final, None, None
+    trajectory = jnp.transpose(traj, (2, 0, 1))[:n]  # [n, n_steps, 2d]
+    taus = tau0[0, :n][:, None] + jnp.arange(n_steps, dtype=z0.dtype)[None, :] * dt
+    return final, trajectory, taus

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from pde_inverse_tpu.config import Config
 from pde_inverse_tpu.distributions import Gaussian
 from pde_inverse_tpu.models.parametric import GMMMeansModel, recovered_gmm_means
-from pde_inverse_tpu.ops.langevin import simulate_kinetic_langevin
+from pde_inverse_tpu.ops.simulate import simulate
 from pde_inverse_tpu.potentials import GMMPotential
 from pde_inverse_tpu.problems.base import ProblemInstance
 
@@ -77,11 +77,12 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         """
         rng_traj, rng_term_sim, rng_i0, rng_i1, rng_i2 = jax.random.split(rng, 5)
         n_steps = self.cfg.pde_instance.n_steps
-        dt = self.total_evolving_time / n_steps
+        # static python float: dt is baked into the (pallas) simulator
+        dt = self.cfg.pde_instance.total_evolving_time / n_steps
 
         z0 = self.distribution_initial.sample(batch_size, rng_i0)
-        _, traj, _ = simulate_kinetic_langevin(
-            rng_traj, z0, n_steps, dt, self.potential.gradient, self.gamma_friction
+        _, traj, _ = simulate(
+            rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction
         )
         sample_0T = traj.reshape(-1, 2 * self.dim)
 
@@ -92,12 +93,12 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         z0_term = self.distribution_initial.sample(
             batch_size * self.multiple_terminal, rng_i2
         )
-        sample_terminal, _, _ = simulate_kinetic_langevin(
+        sample_terminal, _, _ = simulate(
             rng_term_sim,
             z0_term,
             n_steps,
             dt,
-            self.potential.gradient,
+            self.potential,
             self.gamma_friction,
             return_trajectory=False,
         )
@@ -115,26 +116,26 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             "initial": self.distribution_initial.sample(p.sample_initial_size, rng_init)
         }
 
-        dt_term = self.total_evolving_time / p.n_steps_terminal
+        dt_term = p.total_evolving_time / p.n_steps_terminal
         z0 = self.distribution_initial.sample(p.sample_terminal_size, rng_term0)
-        dataset["terminal"], _, _ = simulate_kinetic_langevin(
+        dataset["terminal"], _, _ = simulate(
             rng_term1,
             z0,
             p.n_steps_terminal,
             dt_term,
-            self.potential.gradient,
+            self.potential,
             self.gamma_friction,
             return_trajectory=False,
         )
 
-        dt_0T = self.total_evolving_time / p.n_steps_0T
+        dt_0T = p.total_evolving_time / p.n_steps_0T
         z0 = self.distribution_initial.sample(p.sample_0T_size, rng_0T0)
-        _, dataset["0T"], dataset["tau_0T"] = simulate_kinetic_langevin(
+        _, dataset["0T"], dataset["tau_0T"] = simulate(
             rng_0T1,
             z0,
             p.n_steps_0T,
             dt_0T,
-            self.potential.gradient,
+            self.potential,
             self.gamma_friction,
         )
         return dataset

@@ -1,0 +1,115 @@
+"""Offline data policy, pretraining, plotting, and non-parametric tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_inverse_tpu.config import Config, apply_overrides
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.problems import KineticFokkerPlanckGMM, KineticFokkerPlanckOU
+from pde_inverse_tpu.training.pretraining import potential_pretraining
+
+
+def _offline_cfg(extra=()):
+    return apply_overrides(
+        Config(),
+        [
+            "pde_instance.name=Kinetic-Fokker-Planck",
+            "pde_instance.potential=GMM",
+            "pde_instance.domain_dim=2",
+            "pde_instance.sample_mode=offline",
+            "pde_instance.sample_initial_size=256",
+            "pde_instance.sample_terminal_size=128",
+            "pde_instance.sample_0T_size=64",
+            "pde_instance.n_steps_terminal=10",
+            "pde_instance.n_steps_0T=25",
+            "pde_instance.total_evolving_time=1",
+        ]
+        + list(extra),
+    )
+
+
+class TestOfflinePolicy:
+    def test_offline_subsampling(self, rng):
+        cfg = _offline_cfg()
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = method.sample_data(rng)
+        # stride 5 in both axes: 64//5=12 trajectories x 25//5=5 stamps
+        assert data["0T"].shape == (12 * 5, 4)
+        assert data["initial"].shape == (256, 4)
+        assert data["terminal"].shape == (128, 4)
+
+    def test_offline_training_step(self, rng):
+        cfg = _offline_cfg()
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        out = jax.jit(
+            lambda p, k: method.value_and_grad_fn(net.apply, p, k)
+        )(params, rng)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_nonparametric_model_offline(self, rng):
+        cfg = _offline_cfg(["estimation_mode=non-parametric"])
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        # MLP potential: scalar >= 0 output
+        x = jnp.zeros(2)
+        v = net.apply(params, x)
+        assert v.shape == (1,) and float(v[0]) >= 0
+        out = jax.jit(
+            lambda p, k: method.value_and_grad_fn(net.apply, p, k)
+        )(params, rng)
+        assert np.isfinite(float(out["loss"]))
+
+
+class TestPretraining:
+    def test_pretraining_moves_gradient_toward_damped_truth(self, rng):
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.domain_dim=2",
+            ],
+        )
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        net = inst.create_parametric_model()
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(2))
+        pre = potential_pretraining(
+            inst, net.apply, params, rng, steps=300, batch_size=256
+        )
+        x = inst.distribution_initial.sample(512, rng)[:, :2]
+        from pde_inverse_tpu.ops import autodiff as ad
+
+        V = lambda xi: net.apply(pre, xi)[0]
+        target = 0.1 * ad.batched_grad(inst.V_true_fn, x)
+        err = jnp.mean(jnp.sum((ad.batched_grad(V, x) - target) ** 2, -1))
+        V0 = lambda xi: net.apply(params, xi)[0]
+        err0 = jnp.mean(jnp.sum((ad.batched_grad(V0, x) - target) ** 2, -1))
+        assert float(err) < 0.2 * float(err0)
+
+
+class TestPlotting:
+    def test_plots_write_files(self, rng, tmp_path):
+        from pde_inverse_tpu.utils import plotting
+
+        z = np.asarray(jax.random.normal(rng, (5, 64, 4)))
+        gif = plotting.plot_velocity_animation(z, str(tmp_path / "vel.gif"))
+        assert os.path.getsize(gif) > 0
+        png = plotting.plot_scatter(z[0], str(tmp_path / "scatter.png"))
+        assert os.path.getsize(png) > 0
+        heat = plotting.plot_density_heatmap(z[0], str(tmp_path / "heat.png"))
+        assert os.path.getsize(heat) > 0
+
+        from pde_inverse_tpu.ops.gaussian import gaussian_logdensity
+
+        fn = lambda t, xy: gaussian_logdensity(xy, jnp.zeros(2), jnp.eye(2))
+        panel = plotting.plot_density_trajectory(
+            fn, str(tmp_path / "traj.png"), n_time_points=3, grid_size=24
+        )
+        assert os.path.getsize(panel) > 0
