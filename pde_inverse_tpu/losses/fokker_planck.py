@@ -45,7 +45,7 @@ def make_loss_fn(forward_fn, data, pde_instance):
     return loss_fn, ground_truth_gap
 
 
-def value_and_grad_fn(forward_fn, params, data, rng, pde_instance):
+def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
     loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
     loss, grad = jax.value_and_grad(loss_fn)(params)
     return {

@@ -15,8 +15,9 @@ Memory design (the [m, n, n_time, d] pairwise-difference tensor is the
 reference's memory cliff, kinetic_mckean_vlasov.py:22-48): the reference
 axis is processed in fixed-size chunks under ``lax.scan`` with
 rematerialization, so peak memory is O(chunk * n * n_time * d) while the
-FLOPs stay identical; the chunk loop is the ICI-sharding seam for a future
-ref-axis parallel mode.
+FLOPs stay identical; with a mesh whose `ref` axis is >1 the chunks are
+further partitioned across devices under ``shard_map`` with an explicit
+``psum`` over the `ref` axis (see ``_pairwise_stats``).
 
 Also fixes the reference's time/weight alignment: its
 ``reshape(-1, n_time)`` of a [n_time, n] array scrambles sample and time
@@ -39,11 +40,12 @@ from pde_inverse_tpu.ops import autodiff as ad
 REF_CHUNK = 512
 
 
-def _chunked_ref_means(fn_stats, refs: jnp.ndarray, chunk: int):
-    """Average per-chunk statistics over the reference axis.
+def _chunked_ref_sums(fn_stats, refs: jnp.ndarray, chunk: int, valid=None):
+    """Masked-summed per-chunk statistics over the reference axis.
 
     fn_stats(ref_chunk [c, nt, d], mask [c]) -> pytree of masked *sums* over
-    the chunk axis.  refs: [m, nt, d].  Returns pytree of means over m.
+    the chunk axis.  refs: [m, nt, d]; valid: optional [m] bool marking real
+    (non-padding) refs.  Returns pytree of sums over the valid refs.
     """
     m = refs.shape[0]
     chunk = min(chunk, m)
@@ -53,6 +55,8 @@ def _chunked_ref_means(fn_stats, refs: jnp.ndarray, chunk: int):
     refs_p = refs_p.reshape(n_chunks, chunk, *refs.shape[1:])
     idx = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
     masks = idx < m
+    if valid is not None:
+        masks = masks & jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
 
     def body(acc, inputs):
         ref_c, mask_c = inputs
@@ -65,24 +69,86 @@ def _chunked_ref_means(fn_stats, refs: jnp.ndarray, chunk: int):
         jax.eval_shape(fn_stats, refs_p[0], masks[0]),
     )
     total, _ = jax.lax.scan(body, init, (refs_p, masks))
-    return jax.tree_util.tree_map(lambda s: s / m, total)
+    return total
 
 
-def _pairwise_stats(fns, x, v, refs, chunk):
-    """Mean over refs of each fn's statistic. fns: dict name -> callable
-    (diff [c, n, nt, d], v [n, nt, d]) -> stat summed over c."""
+def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
+    """Mean over refs of flat per-pair statistics.
 
-    def fn_stats(ref_c, mask_c):
-        diff = x[None] - ref_c[:, None]  # [c, n, nt, d]
-        w = mask_c.astype(x.dtype)
-        return {name: f(diff, w) for name, f in fns.items()}
+    stats_flat(diff_flat [C, d], v_flat [C, d]) -> dict of [C] or [C, d]
+    arrays, where C = c * n * nt flattens (chunk, sample, time).  Keeping
+    the network evaluations 2-D matters doubly on TPU: one fused batched
+    eval instead of triple-nested vmaps, and no >2-D tiny-trailing-dim
+    tensors inside the scan body (which the Mosaic/axon compile path
+    handles pathologically, see CLAUDE.md).
 
-    return _chunked_ref_means(fn_stats, refs, chunk)
+    With a mesh whose `ref` axis is >1, the reference axis is partitioned
+    across devices under ``shard_map``: each (data, ref) mesh cell computes
+    partial sums of its x-shard against its ref-shard, partial sums reduce
+    with ``lax.psum`` over the `ref` axis (ICI collective), and the result
+    stays sharded over `data`.  This is the framework's "sequence parallel"
+    (SURVEY.md §5): the m x n pairwise interaction is tiled over the 2-D
+    mesh without ever materializing it.
+    """
+    m = refs.shape[0]
+    n, nt, d = x.shape
 
+    def fn_stats_builder(x_l, v_l):
+        n_l = x_l.shape[0]
 
-def _masked_sum(arr, w):
-    # arr: [c, ...]; w: [c]
-    return jnp.tensordot(w, arr, axes=(0, 0))
+        def fn_stats(ref_c, mask_c):
+            c = ref_c.shape[0]
+            diff = x_l[None] - ref_c[:, None]  # [c, n_l, nt, d]
+            diff_flat = diff.reshape(-1, d)  # [C, d]
+            v_flat = jnp.broadcast_to(v_l[None], (c, n_l, nt, d)).reshape(-1, d)
+            flat = stats_flat(diff_flat, v_flat)
+            w = mask_c.astype(x_l.dtype)
+            out = {}
+            for name, s in flat.items():
+                s = s.reshape((c, n_l, nt) + s.shape[1:])
+                out[name] = jnp.tensordot(w, s, axes=(0, 0))  # sum over c
+            return out
+
+        return fn_stats
+
+    def local_stats(x_l, v_l, refs_l, m_total):
+        sums = _chunked_ref_sums(fn_stats_builder(x_l, v_l), refs_l, chunk)
+        return jax.tree_util.tree_map(lambda s: s / m_total, sums)
+
+    if mesh_spec is None or mesh_spec.n_ref == 1:
+        return local_stats(x, v, refs, m)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_ref = mesh_spec.n_ref
+    n_data = mesh_spec.n_data
+    if x.shape[0] % n_data != 0:
+        # n axis not divisible by the data axis: fall back to ref-only
+        # sharding with replicated x
+        n_data = 1
+
+    pad_m = -(-m // n_ref) * n_ref - m
+    refs_p = jnp.pad(refs, ((0, pad_m), (0, 0), (0, 0)))
+    # mask out padded refs inside the masked chunk sums
+    ref_valid = jnp.arange(refs_p.shape[0]) < m
+
+    def sharded(x_l, v_l, refs_l, valid_l):
+        sums = _chunked_ref_sums(
+            fn_stats_builder(x_l, v_l), refs_l, chunk, valid=valid_l
+        )
+        sums = jax.lax.psum(sums, "ref")
+        return jax.tree_util.tree_map(lambda s: s / m, sums)
+
+    data_spec = P("data") if n_data > 1 else P()
+    return jax.shard_map(
+        sharded,
+        mesh=mesh_spec.mesh,
+        in_specs=(data_spec, data_spec, P("ref"), P("ref")),
+        out_specs=data_spec,
+        # inputs vary over different manual axes by design (x over data,
+        # refs over ref); the cross terms are intended outer products
+        check_vma=False,
+    )(x, v, refs_p, ref_valid)
 
 
 def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +164,9 @@ def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndar
     return w
 
 
-def make_loss_fn(forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK):
+def make_loss_fn(
+    forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK, mesh_spec=None
+):
     taus = data["tau_0T"]  # [nt]
     n_time = taus.shape[0]
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
@@ -111,15 +179,12 @@ def make_loss_fn(forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK):
 
     Phi_true = pde_instance.Phi_true_fn
     true_stats = _pairwise_stats(
-        {
-            "nabla_true": lambda diff, w: _masked_sum(
-                ad.batched_grad(Phi_true, diff), w
-            )
-        },
+        lambda diff_flat, v_flat: {"nabla_true": ad.batched_grad(Phi_true, diff_flat)},
         x,
         v,
         refs,
         ref_chunk,
+        mesh_spec,
     )
     mean_nabla_true = true_stats["nabla_true"]  # [n, nt, d]
     loss_nabla_true = jnp.mean(jnp.sum(mean_nabla_true**2, axis=-1))
@@ -127,22 +192,14 @@ def make_loss_fn(forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK):
     def model_stats(params):
         Phi = lambda xi: forward_fn(params, xi)[0]
 
-        def hess_quad(diff, w):
-            # v^T Hess Phi(diff) v, broadcasting v over the chunk axis
-            per_ref = jax.vmap(lambda dc: ad.batched_hvp_quadform(Phi, dc, v))(diff)
-            return _masked_sum(per_ref, w)
+        def stats_flat(diff_flat, v_flat):
+            return {
+                "nabla": ad.batched_grad(Phi, diff_flat),  # [C, d]
+                "hess": ad.batched_hvp_quadform(Phi, diff_flat, v_flat),  # [C]
+                "value": ad.batched_value(Phi, diff_flat),  # [C]
+            }
 
-        return _pairwise_stats(
-            {
-                "nabla": lambda diff, w: _masked_sum(ad.batched_grad(Phi, diff), w),
-                "hess": hess_quad,
-                "value": lambda diff, w: _masked_sum(ad.batched_value(Phi, diff), w),
-            },
-            x,
-            v,
-            refs,
-            ref_chunk,
-        )
+        return _pairwise_stats(stats_flat, x, v, refs, ref_chunk, mesh_spec)
 
     def loss_fn(params):
         stats = model_stats(params)
@@ -158,8 +215,8 @@ def make_loss_fn(forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK):
     return loss_fn, ground_truth_gap
 
 
-def value_and_grad_fn(forward_fn, params, data, rng, pde_instance):
-    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
+def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
+    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance, mesh_spec=mesh_spec)
     loss, grad = jax.value_and_grad(loss_fn)(params)
     return {
         "loss": loss,

@@ -44,9 +44,23 @@ def parse_args(argv) -> Config:
     return config_lib.apply_overrides(cfg, overrides)
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host (DCN) initialization, opt-in via PDE_INVERSE_TPU_MULTIHOST=1.
+
+    On a TPU pod slice each host runs the same program;
+    jax.distributed.initialize wires the hosts so jax.devices() spans the
+    whole slice and the mesh covers all chips.  No-op on a single host.
+    """
+    import os
+
+    if os.environ.get("PDE_INVERSE_TPU_MULTIHOST") == "1":
+        jax.distributed.initialize()
+
+
 def run(cfg: Config):
     from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
+    maybe_init_distributed()
     enable_compilation_cache()
     # Deterministic 4-way seed split (parity: main.py:43-44).
     seed_names = ["rng_problem", "rng_method", "rng_trainer", "rng_log_density"]

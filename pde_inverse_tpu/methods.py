@@ -81,6 +81,7 @@ class ConsistencyBased(Method):
             data=data,
             rng=rng_vg,
             pde_instance=self.pde_instance,
+            mesh_spec=self.mesh_spec,
         )
 
     def test_fn(self, forward_fn, params, rng):
