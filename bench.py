@@ -69,7 +69,7 @@ def _build():
     return cfg, inst, method, net, params, opt
 
 
-def bench_ours(method, net, params, opt, n_steps=30, chunk=10):
+def bench_ours(method, net, params, opt, n_steps=200, chunk=50):
     """Fused scan-chunk trainer steps/sec."""
 
     def one_step(carry, rng):

@@ -28,31 +28,31 @@ def make_loss_fn(forward_fn, data, pde_instance):
     loss_nabla_true = jnp.mean(jnp.sum(nabla_V_true**2, axis=-1))
 
     def loss_fn(params):
+        """Returns (loss, gap); the accuracy diagnostic shares the batched
+        gradients with the loss instead of a second pass."""
         V = lambda x: forward_fn(params, x)[0]
         nabla_0T = ad.batched_grad(V, x_0T)
         loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
         loss_laplacian = jnp.mean(ad.batched_laplacian(V, x_0T))
         loss_initial = jnp.mean(ad.batched_value(V, x_init)) if x_init.shape[0] else 0.0
         loss_terminal = jnp.mean(ad.batched_value(V, x_term)) if x_term.shape[0] else 0.0
-        return (loss_nabla - 2.0 * loss_laplacian + loss_nabla_true) + (
+        loss = (loss_nabla - 2.0 * loss_laplacian + loss_nabla_true) + (
             2.0 * loss_terminal - 2.0 * loss_initial
         ) / T
+        gap = jnp.mean(jnp.sum((nabla_V_true - nabla_0T) ** 2, axis=-1))
+        return loss, gap
 
-    def ground_truth_gap(params):
-        V = lambda x: forward_fn(params, x)[0]
-        return jnp.mean(jnp.sum((nabla_V_true - ad.batched_grad(V, x_0T)) ** 2, axis=-1))
-
-    return loss_fn, ground_truth_gap
+    return loss_fn
 
 
 def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
-    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
-    loss, grad = jax.value_and_grad(loss_fn)(params)
+    loss_fn = make_loss_fn(forward_fn, data, pde_instance)
+    (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {
         "loss": loss,
         "grad": grad,
         "grad_norm": ad.pytree_l2_norm(grad),
-        "loss ground truth": gap_fn(params),
+        "loss ground truth": gap,
     }
 
 

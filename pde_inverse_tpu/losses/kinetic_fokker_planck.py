@@ -39,6 +39,10 @@ def make_loss_fn(forward_fn, data, pde_instance):
     loss_nabla_true = jnp.mean(jnp.sum(nabla_V_true**2, axis=-1))
 
     def loss_fn(params):
+        """Returns (loss, gap) where gap = E||grad V_true - grad V||^2 on
+        the path batch — the de-facto accuracy diagnostic, computed from
+        the same batched gradients as the loss (the reference pays a second
+        full pass for it every step, kinetic_fokker_planck.py:52-58)."""
         V = lambda x: forward_fn(params, x)[0]
         nabla_0T = ad.batched_grad(V, x_0T)
         loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
@@ -54,27 +58,23 @@ def make_loss_fn(forward_fn, data, pde_instance):
 
         loss_initial = boundary(x_init, v_init)
         loss_terminal = boundary(x_term, v_term)
-        return (
+        loss = (
             loss_nabla - 2.0 * loss_hessian + 2.0 * loss_friction + loss_nabla_true
         ) + (2.0 * loss_terminal - 2.0 * loss_initial) / T
+        gap = jnp.mean(jnp.sum((nabla_V_true - nabla_0T) ** 2, axis=-1))
+        return loss, gap
 
-    def ground_truth_gap(params):
-        """Diagnostic E||grad V_true - grad V||^2 on the path batch —
-        the de-facto accuracy metric (reference logs it per step)."""
-        V = lambda x: forward_fn(params, x)[0]
-        return jnp.mean(jnp.sum((nabla_V_true - ad.batched_grad(V, x_0T)) ** 2, axis=-1))
-
-    return loss_fn, ground_truth_gap
+    return loss_fn
 
 
 def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
-    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance)
-    loss, grad = jax.value_and_grad(loss_fn)(params)
+    loss_fn = make_loss_fn(forward_fn, data, pde_instance)
+    (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {
         "loss": loss,
         "grad": grad,
         "grad_norm": ad.pytree_l2_norm(grad),
-        "loss ground truth": gap_fn(params),
+        "loss ground truth": gap,
     }
 
 

@@ -202,27 +202,29 @@ def make_loss_fn(
         return _pairwise_stats(stats_flat, x, v, refs, ref_chunk, mesh_spec)
 
     def loss_fn(params):
+        """Returns (loss, gap): the mean-field accuracy diagnostic is
+        computed from the SAME pairwise pass as the loss — the reference
+        pays a full second sweep over the [m, n, t] pair grid for it every
+        step (kinetic_mckean_vlasov.py:99-109)."""
         stats = model_stats(params)
         loss_nabla = jnp.mean(jnp.sum(stats["nabla"] ** 2, axis=-1))
         loss_hessian = jnp.mean(stats["hess"])
         loss_value = jnp.mean(stats["value"] * weights)
-        return loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
+        loss = loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
+        gap = jnp.mean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
+        return loss, gap
 
-    def ground_truth_gap(params):
-        stats = model_stats(params)
-        return jnp.mean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
-
-    return loss_fn, ground_truth_gap
+    return loss_fn
 
 
 def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
-    loss_fn, gap_fn = make_loss_fn(forward_fn, data, pde_instance, mesh_spec=mesh_spec)
-    loss, grad = jax.value_and_grad(loss_fn)(params)
+    loss_fn = make_loss_fn(forward_fn, data, pde_instance, mesh_spec=mesh_spec)
+    (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {
         "loss": loss,
         "grad": grad,
         "grad_norm": ad.pytree_l2_norm(grad),
-        "loss ground truth": gap_fn(params),
+        "loss ground truth": gap,
     }
 
 

@@ -80,12 +80,17 @@ def run(cfg: Config):
         f"{cfg.pde_instance.potential}-{cfg.solver.name}-"
         f"{cfg.pde_instance.total_evolving_time}"
     )
+    run_dir = f"{cfg.logging.run_dir}/{run_name}-seed{cfg.seed}"
     writer = make_writer(
         cfg.logging.writer,
-        run_dir=f"{cfg.logging.run_dir}/{run_name}-seed{cfg.seed}",
+        run_dir=run_dir,
         project=cfg.logging.project or run_name,
         config=config_lib.to_dict(cfg),
     )
+    if cfg.logging.writer in ("jsonl", "csv"):
+        from pde_inverse_tpu.utils.data import save_config
+
+        save_config(cfg, run_dir)
 
     trainer = Trainer(
         cfg=cfg,
@@ -96,6 +101,7 @@ def run(cfg: Config):
         optimizer=optimizer,
         mesh_spec=mesh_spec,
         writer=writer,
+        plot_dir=f"{run_dir}/plots" if cfg.plot.enable else None,
     )
     try:
         params_trained = trainer.fit()

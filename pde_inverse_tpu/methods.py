@@ -93,6 +93,49 @@ class ConsistencyBased(Method):
             rng=rng,
         )
 
+    def plot_fn(self, forward_fn, params, rng, out_path: str = "potential.png"):
+        """Quiver comparison of the learned vs true gradient field on the
+        leading 2-D position plane, saved to out_path.  (The reference's
+        plot_fn is dead code after an early return, api.py:81-100; this one
+        is live and offline.)"""
+        import numpy as np
+
+        from pde_inverse_tpu.ops import autodiff as ad
+
+        inst = self.pde_instance
+        true_fn = getattr(inst, "Phi_true_fn", None) or inst.V_true_fn
+        dim = inst.dim
+        extent = 4.0
+        g = np.linspace(-extent, extent, 20)
+        X, Y = np.meshgrid(g, g)
+        pts = jnp.zeros((X.size, dim))
+        pts = pts.at[:, 0].set(jnp.asarray(X.ravel()))
+        if dim > 1:
+            pts = pts.at[:, 1].set(jnp.asarray(Y.ravel()))
+
+        V = lambda x: forward_fn(params, x)[0]
+        learned = np.asarray(ad.batched_grad(V, pts))
+        true = np.asarray(ad.batched_grad(true_fn, pts))
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+        for ax, field, title in [
+            (axes[0], learned, "learned gradient field"),
+            (axes[1], true, "true gradient field"),
+        ]:
+            ax.quiver(X, Y, field[:, 0].reshape(X.shape), field[:, 1].reshape(X.shape))
+            ax.set_title(title)
+        import os
+
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+
     # -- data policy -----------------------------------------------------------
 
     def sample_data(self, rng) -> Dict[str, jnp.ndarray]:

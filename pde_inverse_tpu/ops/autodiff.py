@@ -117,3 +117,11 @@ def pytree_rel_l2(tree_a, tree_b) -> jnp.ndarray:
     """Relative L2 distance ||a - b|| / ||b|| between two pytrees."""
     diff = jax.tree_util.tree_map(lambda a, b: a - b, tree_a, tree_b)
     return pytree_l2_norm(diff) / pytree_l2_norm(tree_b)
+
+
+def volume_nd_ball(d: int) -> float:
+    """Volume of the unit L2 ball in d dimensions.
+    (Parity: utils/common_utils.py:67-72, via lgamma for stability.)"""
+    import math
+
+    return math.pi ** (d / 2.0) / math.gamma(d / 2.0 + 1.0)

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -207,23 +207,126 @@ def gaussian_logdensity_time_second_derivative(
 # ---------------------------------------------------------------------------
 
 
+def spectral_moment_data(A, L, m0, P0):
+    """Host-side eigendecomposition data for the spectral moment oracle.
+
+    With A = V diag(lam) V^-1 (complex, generic diagonalizable drift):
+        m(t) = Re[ V (e^{lam t} * (V^-1 m0)) ]
+        P(t) = Re[ V ( E(t) * (B0 + C) - C ) V^T ],
+    where B0 = V^-1 P0 V^-T,  B = V^-1 L V^-T,  C_ij = B_ij/(lam_i+lam_j),
+    E_ij(t) = e^{(lam_i+lam_j) t}.  Everything is elementwise in t — no
+    matrix exponential per time stamp (the expm path costs ~7 ms per
+    100-stamp grid on-chip; this is ~0.1 ms).
+
+    jnp.linalg.eig is CPU-only, so this runs in numpy at problem-setup time
+    on concrete arrays.
+    """
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    lam, V = np.linalg.eig(A)
+    Vinv = np.linalg.inv(V)
+    if np.linalg.cond(V) > 1e8:
+        raise ValueError(
+            "drift matrix is too close to non-diagonalizable for the "
+            "spectral oracle; use the expm path"
+        )
+    B0 = Vinv @ np.asarray(P0, np.float64) @ Vinv.T
+    B = Vinv @ np.asarray(L, np.float64) @ Vinv.T
+    lam_sum = lam[:, None] + lam[None, :]
+    C = B / lam_sum
+    m0t = Vinv @ np.asarray(m0, np.float64)
+
+    # Complex arithmetic is stored as explicit (re, im) float32 pairs — the
+    # axon TPU backend has no complex-number support.
+    def ri(z):
+        z = np.asarray(z)
+        return jnp.asarray(z.real, jnp.float32), jnp.asarray(z.imag, jnp.float32)
+
+    return {
+        "lam": ri(lam),
+        "V": ri(V),
+        "m0_tilde": ri(m0t),
+        "B0_plus_C": ri(B0 + C),
+        "C": ri(C),
+        "lam_sum": ri(lam_sum),
+    }
+
+
+def _cexp(t, lam_ri):
+    """e^{t * lam} for real t[...] and complex lam (re, im): -> (re, im)."""
+    lr, li = lam_ri
+    mag = jnp.exp(t * lr)
+    return mag * jnp.cos(t * li), mag * jnp.sin(t * li)
+
+
+def _cmul(a, b):
+    ar, ai = a
+    br, bi = b
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def spectral_moments(data, ts: jnp.ndarray):
+    """(means [..., D], covs [..., D, D]) for any time array, elementwise
+    in t — no matrix exponential, no complex dtype (real/imag pairs)."""
+    ts = jnp.asarray(ts, jnp.float32)
+    Vr, Vi = data["V"]
+
+    # mean = Re[V (e^{lam t} * m0_tilde)]
+    e = _cexp(ts[..., None], data["lam"])  # (re, im) [..., D]
+    w = _cmul(e, data["m0_tilde"])
+    mean = jnp.einsum("ij,...j->...i", Vr, w[0]) - jnp.einsum(
+        "ij,...j->...i", Vi, w[1]
+    )
+
+    # inner = E(t) * (B0 + C) - C,  cov = Re[V inner V^T]
+    E = _cexp(ts[..., None, None], data["lam_sum"])  # [..., D, D]
+    inner = _cmul(E, data["B0_plus_C"])
+    inner = (inner[0] - data["C"][0], inner[1] - data["C"][1])
+    # N = V inner  (complex), cov = Re[N V^T] = Nr Vr^T - Ni Vi^T
+    Nr = jnp.einsum("ij,...jk->...ik", Vr, inner[0]) - jnp.einsum(
+        "ij,...jk->...ik", Vi, inner[1]
+    )
+    Ni = jnp.einsum("ij,...jk->...ik", Vr, inner[1]) + jnp.einsum(
+        "ij,...jk->...ik", Vi, inner[0]
+    )
+    cov = jnp.einsum("...ik,jk->...ij", Nr, Vr) - jnp.einsum(
+        "...ik,jk->...ij", Ni, Vi
+    )
+    # numerical symmetrization (P is symmetric by construction)
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    return mean, cov
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class GaussianPathOracle:
     """Exact Gaussian law of a linear SDE dz = A z dt + sqrt(L) dW.
 
     Closes over (A, L, m0, P0) as traced arrays, so it can live inside jitted
-    train steps.  `marginal_dims` restricts log-density time-derivatives to a
-    leading sub-block (the position marginal of a kinetic state).
+    train steps.  Constructed via ``create`` it carries spectral
+    eigendecomposition data and evaluates moments elementwise in t; without
+    it, it falls back to the Kronecker matrix-exponential path.
     """
 
     A: jnp.ndarray
     L: jnp.ndarray
     m0: jnp.ndarray
     P0: jnp.ndarray
+    spectral: Optional[dict] = None
+
+    @classmethod
+    def create(cls, A, L, m0, P0, use_spectral: bool = True):
+        spectral = None
+        if use_spectral:
+            try:
+                spectral = spectral_moment_data(A, L, m0, P0)
+            except ValueError:
+                spectral = None
+        return cls(A=A, L=L, m0=m0, P0=P0, spectral=spectral)
 
     def tree_flatten(self):
-        return (self.A, self.L, self.m0, self.P0), None
+        return (self.A, self.L, self.m0, self.P0, self.spectral), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -231,10 +334,14 @@ class GaussianPathOracle:
 
     def moments(self, t: jnp.ndarray):
         """Scalar t -> (mean [D], cov [D, D])."""
+        if self.spectral is not None:
+            return spectral_moments(self.spectral, t)
         return lti_moments(self.A, self.L, self.m0, self.P0, t)
 
     def moments_grid(self, ts: jnp.ndarray):
         """ts [T] -> (means [T, D], covs [T, D, D])."""
+        if self.spectral is not None:
+            return spectral_moments(self.spectral, ts)
         return lti_moments_grid(self.A, self.L, self.m0, self.P0, ts)
 
     def _marginal_state(self, s: jnp.ndarray, dim: int):

@@ -70,6 +70,13 @@ class FokkerPlanck(ProblemInstance):
         eps = jax.random.normal(rng_x, (batch_size, self.dim))
         return jnp.einsum("nij,nj->ni", chols, eps) + means
 
+    def get_time_sample_ground_truth(self, rng: jax.Array, batch_size: int):
+        """Times matching sample_ground_truth under the same rng (the FP
+        loss does not consume them, but the data policy provides them
+        uniformly)."""
+        rng_t, _ = jax.random.split(rng)
+        return self.distribution_time.sample(batch_size, rng_t)
+
     def create_parametric_model(self):
         return QuadraticFormModel(dim=self.dim)
 

@@ -62,8 +62,8 @@ class KineticFokkerPlanckOU(ProblemInstance):
         self.configuration = c
         self.gamma_friction = c["gamma_friction"]
         self.tilde_F = c["tilde_F"]
-        self.oracle = ou.GaussianPathOracle(
-            A=c["F"], L=c["L"], m0=c["m_0"], P0=c["P_0"]
+        self.oracle = ou.GaussianPathOracle.create(
+            c["F"], c["L"], c["m_0"], c["P_0"]
         )
         self.distribution_initial = Gaussian.create(c["m_0"], c["P_0"])
         self.distribution_initial_x = Gaussian.create(c["m_x_0"], c["P_x_0"])

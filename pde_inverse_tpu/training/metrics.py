@@ -42,7 +42,8 @@ class JsonlWriter(MetricWriter):
     def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, filename)
-        self._f = open(self.path, "a", buffering=1024 * 1024)
+        # line-buffered so long runs are monitorable with tail -f
+        self._f = open(self.path, "a", buffering=1)
 
     def log(self, metrics, step):
         self._f.write(json.dumps({"step": step, **metrics}) + "\n")

@@ -47,6 +47,7 @@ class Trainer:
         optimizer: Optional[optax.GradientTransformation] = None,
         mesh_spec: Optional[MeshSpec] = None,
         writer: Optional[MetricWriter] = None,
+        plot_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.method = method
@@ -56,6 +57,7 @@ class Trainer:
         self.optimizer = optimizer or get_optimizer(cfg.train.optimizer)
         self.mesh_spec = mesh_spec
         self.writer = writer or NullWriter()
+        self.plot_dir = plot_dir
         if mesh_spec is not None and hasattr(method, "mesh_spec"):
             method.mesh_spec = mesh_spec
 
@@ -197,6 +199,21 @@ class Trainer:
                     msg += f"loss {loss[-1]:.3e} "
                     msg += " ".join(f"{key}={v:.3e}" for key, v in test_metrics.items())
                     print(msg)
+
+            if (
+                cfg.plot.enable
+                and self.plot_dir is not None
+                and step % max(k, cfg.plot.frequency // k * k) < k
+            ):
+                try:
+                    self.method.plot_fn(
+                        self.forward_fn,
+                        jax.device_get(carry[0]),
+                        jax.random.fold_in(self.rng, step + 1),
+                        out_path=os.path.join(self.plot_dir, f"field_{step:06d}.png"),
+                    )
+                except Exception as e:  # plotting must never kill training
+                    print(f"[trainer] plot at step {step} failed: {e}")
 
             if (
                 mgr is not None

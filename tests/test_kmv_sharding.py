@@ -36,27 +36,23 @@ class TestKMVRefSharding:
     @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8)])
     def test_sharded_loss_matches_local(self, setup, mesh_shape):
         inst, net, params, data = setup
-        l_local, gap_local = kmv_loss.make_loss_fn(net.apply, data, inst)
+        l_local = kmv_loss.make_loss_fn(net.apply, data, inst)
         spec = build_mesh(
             BackendConfig(data_axis_size=mesh_shape[0], ref_axis_size=mesh_shape[1])
         )
-        l_shard, gap_shard = kmv_loss.make_loss_fn(
-            net.apply, data, inst, mesh_spec=spec
-        )
-        np.testing.assert_allclose(
-            jax.jit(l_local)(params), jax.jit(l_shard)(params), rtol=2e-5
-        )
-        np.testing.assert_allclose(
-            jax.jit(gap_local)(params), jax.jit(gap_shard)(params), rtol=2e-5, atol=1e-7
-        )
+        l_shard = kmv_loss.make_loss_fn(net.apply, data, inst, mesh_spec=spec)
+        loss_l, gap_l = jax.jit(l_local)(params)
+        loss_s, gap_s = jax.jit(l_shard)(params)
+        np.testing.assert_allclose(loss_l, loss_s, rtol=2e-5)
+        np.testing.assert_allclose(gap_l, gap_s, rtol=2e-5, atol=1e-7)
 
     def test_sharded_grad_matches_local(self, setup):
         inst, net, params, data = setup
-        l_local, _ = kmv_loss.make_loss_fn(net.apply, data, inst)
+        l_local = kmv_loss.make_loss_fn(net.apply, data, inst)
         spec = build_mesh(BackendConfig(data_axis_size=2, ref_axis_size=4))
-        l_shard, _ = kmv_loss.make_loss_fn(net.apply, data, inst, mesh_spec=spec)
-        g_local = jax.jit(jax.grad(l_local))(params)
-        g_shard = jax.jit(jax.grad(l_shard))(params)
+        l_shard = kmv_loss.make_loss_fn(net.apply, data, inst, mesh_spec=spec)
+        g_local = jax.jit(jax.grad(lambda p: l_local(p)[0]))(params)
+        g_shard = jax.jit(jax.grad(lambda p: l_shard(p)[0]))(params)
         for a, b in zip(
             jax.tree_util.tree_leaves(g_local), jax.tree_util.tree_leaves(g_shard)
         ):
@@ -70,9 +66,9 @@ class TestKMVRefSharding:
             "0T": inst.sample_ground_truth(rng, (nt, n)),
             "tau_0T": inst.get_time_sample_ground_truth(rng, (nt, n)),
         }
-        l_local, _ = kmv_loss.make_loss_fn(net.apply, data, inst)
+        l_local = kmv_loss.make_loss_fn(net.apply, data, inst)
         spec = build_mesh(BackendConfig(data_axis_size=1, ref_axis_size=8))
-        l_shard, _ = kmv_loss.make_loss_fn(net.apply, data, inst, mesh_spec=spec)
+        l_shard = kmv_loss.make_loss_fn(net.apply, data, inst, mesh_spec=spec)
         np.testing.assert_allclose(
-            jax.jit(l_local)(params), jax.jit(l_shard)(params), rtol=2e-5
+            jax.jit(l_local)(params)[0], jax.jit(l_shard)(params)[0], rtol=2e-5
         )

@@ -213,10 +213,10 @@ class TestKMVLoss:
     def test_chunk_padding_consistency(self, rng):
         """Chunk sizes that do and don't divide m must agree (mask path)."""
         inst, net, params, data = self._setup(rng, n=10)
-        l_full, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=10)
-        l_c3, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=3)
-        l_c4, _ = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=4)
-        a, b, c = l_full(params), l_c3(params), l_c4(params)
+        l_full = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=10)
+        l_c3 = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=3)
+        l_c4 = kmv_loss.make_loss_fn(net.apply, data, inst, ref_chunk=4)
+        a, b, c = l_full(params)[0], l_c3(params)[0], l_c4(params)[0]
         np.testing.assert_allclose(a, b, rtol=1e-5)
         np.testing.assert_allclose(a, c, rtol=1e-5)
 
@@ -226,8 +226,8 @@ class TestKMVLoss:
         params = {
             "params": {"F": {"kernel": inst.tilde_F / 2.0, "bias": jnp.zeros(dim)}}
         }
-        _, gap_fn = kmv_loss.make_loss_fn(net.apply, data, inst)
-        np.testing.assert_allclose(gap_fn(params), 0.0, atol=1e-8)
+        loss_fn = kmv_loss.make_loss_fn(net.apply, data, inst)
+        np.testing.assert_allclose(loss_fn(params)[1], 0.0, atol=1e-8)
 
 
 class TestSampleDataPolicy:

@@ -113,3 +113,50 @@ class TestPlotting:
             fn, str(tmp_path / "traj.png"), n_time_points=3, grid_size=24
         )
         assert os.path.getsize(panel) > 0
+
+
+class TestPlotFnAndDataUtils:
+    def test_method_plot_fn(self, rng, tmp_path):
+        from pde_inverse_tpu.config import Config, apply_overrides
+        from pde_inverse_tpu.methods import ConsistencyBased
+        from pde_inverse_tpu.problems import KineticFokkerPlanckOU
+
+        cfg = apply_overrides(
+            Config(),
+            ["pde_instance.name=Kinetic-Fokker-Planck", "pde_instance.domain_dim=2"],
+        )
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        out = method.plot_fn(net.apply, params, rng, str(tmp_path / "f.png"))
+        assert os.path.getsize(out) > 0
+
+    def test_infinite_batches(self, rng):
+        from pde_inverse_tpu.distributions import Gaussian, Uniform
+        from pde_inverse_tpu.utils.data import infinite_batches
+
+        it = infinite_batches(
+            rng,
+            Uniform.create(jnp.float32(0.0), jnp.float32(1.0)),
+            Gaussian.create(jnp.zeros(2), jnp.eye(2)),
+            batch_size=16,
+        )
+        b1, b2 = next(it), next(it)
+        assert b1["space"].shape == (16, 2) and b1["time"].shape == (16,)
+        assert not np.allclose(b1["space"], b2["space"])
+
+    def test_save_config(self, tmp_path):
+        from pde_inverse_tpu.config import Config
+        from pde_inverse_tpu.utils.data import save_config
+
+        p = save_config(Config(), str(tmp_path))
+        import json
+
+        data = json.load(open(p))
+        assert data["train"]["number_of_iterations"] == 80000
+
+    def test_volume_nd_ball(self):
+        from pde_inverse_tpu.ops.autodiff import volume_nd_ball
+
+        np.testing.assert_allclose(volume_nd_ball(2), np.pi, rtol=1e-6)
+        np.testing.assert_allclose(volume_nd_ball(3), 4 / 3 * np.pi, rtol=1e-6)
