@@ -139,6 +139,9 @@ class BackendConfig:
     ref_axis_size: int = 1
     use_mesh: bool = True
     donate_state: bool = True
+    # If set, capture a jax.profiler device trace of one training chunk
+    # into this directory (viewable with tensorboard/xprof).
+    profile_dir: str = ""
 
 
 @dataclass(frozen=True)

@@ -171,7 +171,16 @@ class Trainer:
             this_k = min(k, n_iters - step)
             # A ragged final chunk just triggers one extra jit specialization.
             chunk_rngs = rngs[step : step + this_k]
+            profile_now = (
+                cfg.backend.profile_dir and step == start_step + k
+            )  # second chunk: compiled, steady-state
+            if profile_now:
+                jax.profiler.start_trace(cfg.backend.profile_dir)
             carry, metrics = chunk_fn(carry, chunk_rngs)
+            if profile_now:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"[trainer] profile trace -> {cfg.backend.profile_dir}")
             step += this_k
 
             host_metrics = jax.tree_util.tree_map(np.asarray, metrics)
@@ -191,6 +200,9 @@ class Trainer:
                         np.asarray, test_metrics
                     ).items()
                 }
+                test_metrics["steps_per_sec"] = (step - start_step) / (
+                    time.perf_counter() - t_start
+                )
                 if test_metrics:
                     self.writer.log(test_metrics, step=step)
                 if cfg.test.verbose:

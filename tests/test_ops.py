@@ -185,3 +185,59 @@ class TestOUOracles:
             rel2 = jnp.linalg.norm(an2 - fd2) / jnp.linalg.norm(fd2)
             assert rel1 < 1e-6, f"first derivative rel err {rel1}"
             assert rel2 < 1e-4, f"second derivative rel err {rel2}"
+
+
+class TestSpectralOracle:
+    """The spectral (eigendecomposition) oracle must match the Kronecker
+    expm path on the kinetic drift, including under vmap/jit."""
+
+    def _setup(self, d=2, gamma=1.0):
+        _F = jax.random.normal(jax.random.PRNGKey(2217), (d, d + 1))
+        tF = _F @ _F.T
+        F = jnp.block(
+            [[jnp.zeros((d, d)), jnp.eye(d)], [-tF, -gamma * jnp.eye(d)]]
+        )
+        L = jnp.block(
+            [
+                [jnp.zeros((d, d)), jnp.zeros((d, d))],
+                [jnp.zeros((d, d)), 2.0 * jnp.eye(d)],
+            ]
+        )
+        return F, L, jnp.zeros(2 * d), jnp.eye(2 * d)
+
+    def test_matches_expm(self):
+        F, L, m0, P0 = self._setup()
+        orc = ou.GaussianPathOracle.create(F, L, m0, P0)
+        assert orc.spectral is not None
+        ts = jnp.array([0.05, 0.5, 1.0, 2.0])
+        m_s, P_s = jax.jit(orc.moments_grid)(ts)
+        m_e, P_e = ou.lti_moments_grid(F, L, m0, P0, ts)
+        np.testing.assert_allclose(m_s, m_e, atol=1e-5)
+        np.testing.assert_allclose(P_s, P_e, atol=1e-5)
+
+    def test_scalar_and_fallback(self):
+        F, L, m0, P0 = self._setup()
+        orc_spec = ou.GaussianPathOracle.create(F, L, m0, P0)
+        orc_expm = ou.GaussianPathOracle(A=F, L=L, m0=m0, P0=P0)
+        assert orc_expm.spectral is None
+        t = jnp.float32(0.7)
+        m1, P1 = orc_spec.moments(t)
+        m2, P2 = orc_expm.moments(t)
+        np.testing.assert_allclose(P1, P2, atol=1e-5)
+        np.testing.assert_allclose(m1, m2, atol=1e-6)
+
+    def test_time_derivative_paths_unchanged(self):
+        """partial_s log-density uses the analytic Lyapunov formulas with
+        spectral moments underneath — FD gate at f32 tolerance."""
+        F, L, m0, P0 = self._setup()
+        orc = ou.GaussianPathOracle.create(F, L, m0, P0)
+        x = jax.random.normal(jax.random.PRNGKey(3), (32, 2))
+        s = jnp.float32(0.6)
+        delta = 1e-2
+        def logrho(s_):
+            mean, cov = orc.moments(s_)
+            return gops.gaussian_logdensity(x, mean[:2], cov[:2, :2])
+        fd1 = (logrho(s + delta) - logrho(s - delta)) / (2 * delta)
+        an1 = orc.partial_s_logdensity(s, x, 2)
+        rel = jnp.linalg.norm(an1 - fd1) / jnp.linalg.norm(fd1)
+        assert rel < 5e-3, rel
