@@ -185,6 +185,11 @@ def main():
     from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # TPU-hardware PRNG: bit generation is ~100x faster than threefry for
+    # the 1M-point batches sampled every step (both sides of the
+    # comparison sample the same amount of randomness; the baseline keeps
+    # the reference's own threefry semantics).
+    jax.config.update("jax_default_prng_impl", "rbg")
     cfg, inst, method, net, params, opt = _build()
     ours = bench_ours(method, net, params, opt)
     ref = bench_reference_semantics(inst, net, params, opt)

@@ -142,6 +142,11 @@ class BackendConfig:
     # If set, capture a jax.profiler device trace of one training chunk
     # into this directory (viewable with tensorboard/xprof).
     profile_dir: str = ""
+    # PRNG implementation: "threefry2x32" (default; splittable, fully
+    # reproducible across platforms) or "rbg" (TPU-hardware generator,
+    # ~100x faster bit generation for million-point batches; statistically
+    # sound but a different stream).
+    prng_impl: str = "threefry2x32"
 
 
 @dataclass(frozen=True)

@@ -71,7 +71,9 @@ def estimate_log_density(
     positions = dataset[..., :dim]
     stride_t, stride_n = 5, 5
 
-    def minibatch(key):
+    def minibatch(key, positions, taus):
+        # positions/taus flow in as jit ARGUMENTS — closing over the full
+        # trajectory store would bake it into the program as constants.
         key_t, key_n = jax.random.split(key)
         shift = jax.random.randint(key_t, [], 0, stride_t)
         t_idx = jnp.arange(n_time // stride_t) * stride_t + shift
@@ -86,17 +88,18 @@ def estimate_log_density(
         ll = jax.vmap(jax.vmap(lambda ti, xi: model.apply(params, ti, xi)))(t, x)
         return -jnp.mean(ll)
 
-    def one_step(carry, key):
+    def one_step(carry, key, positions, taus):
         params, opt_state = carry
-        t, x = minibatch(key)
+        t, x = minibatch(key, positions, taus)
         loss, grad = jax.value_and_grad(loss_fn)(params, t, x)
         updates, opt_state = opt.update(grad, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
     @jax.jit
-    def chunk(carry, keys):
-        return jax.lax.scan(one_step, carry, keys)
+    def chunk(carry, keys, positions, taus):
+        body = lambda c, k: one_step(c, k, positions, taus)
+        return jax.lax.scan(body, carry, keys)
 
     carry = (params, opt.init(params))
     n_epochs = ld.num_epochs
@@ -104,7 +107,7 @@ def estimate_log_density(
     done = 0
     while done < n_epochs:
         k = min(steps_per_chunk, n_epochs - done)
-        carry, losses = chunk(carry, keys[done : done + k])
+        carry, losses = chunk(carry, keys[done : done + k], positions, taus)
         done += k
         if verbose:
             print(f"[density] epoch {done}: loss {float(losses[-1]):.4f}")

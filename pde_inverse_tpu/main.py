@@ -62,6 +62,8 @@ def run(cfg: Config):
 
     maybe_init_distributed()
     enable_compilation_cache()
+    if cfg.backend.prng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", cfg.backend.prng_impl)
     # Deterministic 4-way seed split (parity: main.py:43-44).
     seed_names = ["rng_problem", "rng_method", "rng_trainer", "rng_log_density"]
     seeds = dict(
@@ -111,6 +113,11 @@ def run(cfg: Config):
     rel = pde_instance.recovered_parameter_rel_l2(jax.device_get(params_trained))
     if rel is not None:
         print(f"[result] recovered-parameter rel-L2: {float(rel):.4e}")
+    else:
+        # non-parametric model: report the test metrics instead
+        metrics = method.test_fn(net.apply, params_trained, jax.random.PRNGKey(99))
+        line = " ".join(f"{k}={float(v):.4e}" for k, v in metrics.items())
+        print(f"[result] {line}" if metrics else "[result] done")
     return params_trained
 
 

@@ -72,9 +72,9 @@ class ConsistencyBased(Method):
         params = net.init(jax.random.PRNGKey(11), x)
         return net, params
 
-    def value_and_grad_fn(self, forward_fn, params, rng):
+    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None):
         rng_sample, rng_vg = jax.random.split(rng)
-        data = self.sample_data(rng_sample)
+        data = self.sample_data(rng_sample, dataset=dataset)
         return self._loss_module().value_and_grad_fn(
             forward_fn=forward_fn,
             params=params,
@@ -138,15 +138,15 @@ class ConsistencyBased(Method):
 
     # -- data policy -----------------------------------------------------------
 
-    def sample_data(self, rng) -> Dict[str, jnp.ndarray]:
-        data = self._sample_data_unsharded(rng)
+    def sample_data(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
+        data = self._sample_data_unsharded(rng, dataset)
         if self.mesh_spec is not None:
             from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 
             data = shard_tree_batches(data, self.mesh_spec)
         return data
 
-    def _sample_data_unsharded(self, rng) -> Dict[str, jnp.ndarray]:
+    def _sample_data_unsharded(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
         inst = self.pde_instance
         tr = self.cfg.solver.train
         if inst.sample_mode == "online":
@@ -175,7 +175,12 @@ class ConsistencyBased(Method):
             raise ValueError(f"unknown sample scheme {inst.sample_scheme!r}")
 
         if inst.sample_mode == "offline":
-            dataset = inst.dataset
+            # The dataset should be passed as a jit ARGUMENT by the caller:
+            # closing over hundreds of MB of trajectories bakes them into
+            # the compiled program as literal constants (and overflows the
+            # remote-compile relay). Falling back to the instance attribute
+            # is only safe for small datasets / eager use.
+            dataset = dataset if dataset is not None else inst.dataset
             rng_time, rng_sample = jax.random.split(rng)
             n_traj, n_time, _ = dataset["0T"].shape
 

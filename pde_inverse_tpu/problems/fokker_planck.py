@@ -81,5 +81,8 @@ class FokkerPlanck(ProblemInstance):
         return QuadraticFormModel(dim=self.dim)
 
     def recovered_parameter_rel_l2(self, params):
-        est = recovered_quadratic_matrix(params)
+        try:
+            est = recovered_quadratic_matrix(params)
+        except KeyError:  # non-parametric model: no physical parameter
+            return None
         return jnp.linalg.norm(est - self.F) / jnp.linalg.norm(self.F)

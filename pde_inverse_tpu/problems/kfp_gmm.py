@@ -150,7 +150,10 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         (component labels are exchangeable)."""
         import itertools
 
-        est = jnp.asarray(recovered_gmm_means(params))
+        try:
+            est = jnp.asarray(recovered_gmm_means(params))
+        except KeyError:  # non-parametric model: no physical parameter
+            return None
         true = self.configuration["mus"]
         k = true.shape[0]
         perms = jnp.array(list(itertools.permutations(range(k))))

@@ -46,5 +46,8 @@ class KineticMcKeanVlasovQuadratic(KineticFokkerPlanckOU):
         return QuadraticFormModel(dim=self.dim)
 
     def recovered_parameter_rel_l2(self, params):
-        est = recovered_quadratic_matrix(params)
+        try:
+            est = recovered_quadratic_matrix(params)
+        except KeyError:  # non-parametric model: no physical parameter
+            return None
         return jnp.linalg.norm(est - self.tilde_F) / jnp.linalg.norm(self.tilde_F)

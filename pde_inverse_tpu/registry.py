@@ -34,8 +34,12 @@ def get_pde_instance(cfg: Config):
 
 def get_method(cfg: Config):
     from pde_inverse_tpu.methods import ConsistencyBased
+    from pde_inverse_tpu.methods_pinn import PINN
 
-    methods = {"ConsistencyBased": ConsistencyBased}
+    # The reference declares a PINN solver config but implements no code
+    # for it (configurations/solver/PINN.yaml, registry.py:29-32 raises);
+    # here it is functional for the overdamped Fokker-Planck instance.
+    methods = {"ConsistencyBased": ConsistencyBased, "PINN": PINN}
     if cfg.solver.name not in methods:
         raise KeyError(
             f"unknown solver {cfg.solver.name!r}; available: {sorted(methods)}"

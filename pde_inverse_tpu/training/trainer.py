@@ -70,12 +70,11 @@ class Trainer:
         ema = optax.ema(ocfg.ema_decay)
         switch = ocfg.ema_switch_step
 
-        def value_and_grad(params, rng):
-            return self.method.value_and_grad_fn(self.forward_fn, params, rng)
-
-        def one_step(carry, rng):
+        def one_step_with_dataset(carry, rng, dataset):
             params, opt_state, ema_state, step_idx = carry
-            out = value_and_grad(params, rng)
+            out = self.method.value_and_grad_fn(
+                self.forward_fn, params, rng, dataset=dataset
+            )
             grad = out.pop("grad")
             updates, opt_state = opt.update(grad, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -107,7 +106,8 @@ class Trainer:
             metrics["params_norm"] = pytree_l2_norm(params)
             return (params, opt_state, ema_state, step_idx + 1), metrics
 
-        def chunk(carry, rngs):
+        def chunk(carry, rngs, dataset):
+            one_step = lambda c, r: one_step_with_dataset(c, r, dataset)
             return jax.lax.scan(one_step, carry, rngs)
 
         return jax.jit(chunk, donate_argnums=(0,))
@@ -171,12 +171,13 @@ class Trainer:
             this_k = min(k, n_iters - step)
             # A ragged final chunk just triggers one extra jit specialization.
             chunk_rngs = rngs[step : step + this_k]
+            dataset = getattr(self.method.pde_instance, "dataset", None)
             profile_now = (
                 cfg.backend.profile_dir and step == start_step + k
             )  # second chunk: compiled, steady-state
             if profile_now:
                 jax.profiler.start_trace(cfg.backend.profile_dir)
-            carry, metrics = chunk_fn(carry, chunk_rngs)
+            carry, metrics = chunk_fn(carry, chunk_rngs, dataset)
             if profile_now:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
