@@ -164,6 +164,12 @@ def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndar
     return w
 
 
+# Target element count for one chunk's flattened [chunk * n * nt, d] pass;
+# keeps peak live memory through the autodiff tape bounded (~a few hundred
+# MB) regardless of batch geometry.
+_CHUNK_ELEMENT_BUDGET = 4_000_000
+
+
 def make_loss_fn(
     forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK, mesh_spec=None
 ):
@@ -174,6 +180,10 @@ def make_loss_fn(
     x = x_0T.reshape(-1, n_time, d)  # [n, nt, d]
     v = v_0T.reshape(-1, n_time, d)
     refs = x  # empirical mean-field measure = the samples themselves
+
+    # auto-scale the ref chunk so chunk * n * nt stays within budget
+    per_ref = max(1, x.shape[0] * n_time)
+    ref_chunk = max(1, min(ref_chunk, _CHUNK_ELEMENT_BUDGET // per_ref))
 
     weights = compute_weights(pde_instance, taus, x)  # [n, nt]
 
