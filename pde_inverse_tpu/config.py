@@ -36,6 +36,10 @@ class PDEInstanceConfig:
     total_evolving_time: float = 2.0
     # online | offline  (offline pre-generates a fixed dataset)
     sample_mode: str = "online"
+    # Optional .npz path for the offline dataset: generated-and-saved on
+    # first use, memory-mapped-loaded afterwards (the reference regenerates
+    # the full 500k/200k/20k x 400 dataset every run).
+    dataset_path: str = ""
     # --- SDE (Langevin) sampling parameters (GMM instances) ---
     n_steps: int = 100
     sample_initial_size: int = 500_000

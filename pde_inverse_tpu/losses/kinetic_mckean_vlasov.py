@@ -29,7 +29,6 @@ Parity: /root/reference/methods/consistency_instances/kinetic_mckean_vlasov.py.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

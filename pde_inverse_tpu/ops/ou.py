@@ -36,7 +36,6 @@ log-density used as KMV loss weights (kinetic_mckean_vlasov_example_quadratic
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -62,7 +62,24 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         self.distribution_terminal = None  # only reachable by simulation
         self.dataset = None
         if self.sample_mode == "offline":
-            self.dataset = jax.jit(self.generate_ground_truth_dataset)(rng_dataset)
+            self.dataset = self._load_or_generate_dataset(rng_dataset)
+
+    def _load_or_generate_dataset(self, rng: jax.Array) -> dict:
+        """Generate the offline dataset on device, optionally persisting it
+        to (and reloading it from) cfg.pde_instance.dataset_path."""
+        import os
+
+        import numpy as np
+
+        path = self.cfg.pde_instance.dataset_path
+        if path and os.path.exists(path):
+            with np.load(path) as z:
+                return {k: jnp.asarray(z[k]) for k in z.files}
+        dataset = jax.jit(self.generate_ground_truth_dataset)(rng)
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            np.savez(path, **{k: np.asarray(v) for k, v in dataset.items()})
+        return dataset
 
     def V_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.potential.value(x)

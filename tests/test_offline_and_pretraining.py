@@ -160,3 +160,17 @@ class TestPlotFnAndDataUtils:
 
         np.testing.assert_allclose(volume_nd_ball(2), np.pi, rtol=1e-6)
         np.testing.assert_allclose(volume_nd_ball(3), 4 / 3 * np.pi, rtol=1e-6)
+
+
+class TestDatasetPersistence:
+    def test_save_and_reload(self, rng, tmp_path):
+        path = str(tmp_path / "ds.npz")
+        cfg = _offline_cfg([f"pde_instance.dataset_path={path}"])
+        inst1 = KineticFokkerPlanckGMM(cfg, rng)
+        assert os.path.exists(path)
+        # second instance loads the SAME dataset even with a different rng
+        inst2 = KineticFokkerPlanckGMM(cfg, jax.random.fold_in(rng, 1))
+        np.testing.assert_allclose(inst1.dataset["0T"], inst2.dataset["0T"])
+        np.testing.assert_allclose(
+            inst1.dataset["initial"], inst2.dataset["initial"]
+        )
