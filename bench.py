@@ -186,9 +186,9 @@ def main():
 
     enable_compilation_cache()
     # TPU-hardware PRNG: bit generation is ~100x faster than threefry for
-    # the 1M-point batches sampled every step (both sides of the
-    # comparison sample the same amount of randomness; the baseline keeps
-    # the reference's own threefry semantics).
+    # the 1M-point batches sampled every step. The default-impl switch
+    # applies to BOTH sides of the comparison (if anything it favors the
+    # baseline, whose per-step cost is dominated by odeint + dispatch).
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg, inst, method, net, params, opt = _build()
     ours = bench_ours(method, net, params, opt)

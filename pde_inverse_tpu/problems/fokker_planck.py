@@ -27,7 +27,11 @@ _TRUTH_SEED = 2217
 
 
 def make_configuration(dim: int):
-    _F = jax.random.normal(jax.random.PRNGKey(_TRUTH_SEED), (dim, dim + 1))
+    # typed key carries its impl, so the fixed-seed truth is identical
+    # regardless of the backend.prng_impl default
+    _F = jax.random.normal(
+        jax.random.key(_TRUTH_SEED, impl="threefry2x32"), (dim, dim + 1)
+    )
     F = _F @ _F.T  # symmetric PD => gradient field
     return {
         "F": F,
