@@ -34,11 +34,13 @@ def get_pde_instance(cfg: Config):
 
 def get_method(cfg: Config):
     from pde_inverse_tpu.methods import ConsistencyBased
-    from pde_inverse_tpu.methods_pinn import PINN
+    from pde_inverse_tpu.methods_pinn import PINN, PINNKinetic
 
     # The reference declares a PINN solver config but implements no code
     # for it (configurations/solver/PINN.yaml, registry.py:29-32 raises);
-    # here it is functional for the overdamped Fokker-Planck instance.
+    # here it is functional for the overdamped AND kinetic FP instances.
+    if cfg.solver.name == "PINN" and cfg.pde_instance.name.startswith("Kinetic"):
+        return PINNKinetic
     methods = {"ConsistencyBased": ConsistencyBased, "PINN": PINN}
     if cfg.solver.name not in methods:
         raise KeyError(

@@ -103,3 +103,68 @@ class TestPINN:
         method.log_density_fn = log_density_fn
         r_learned = method._residual(net.apply, params, t, x)
         np.testing.assert_allclose(r_oracle, r_learned, atol=2e-2, rtol=1e-3)
+
+
+class TestPINNKinetic:
+    def _setup(self, rng, dim=2):
+        from pde_inverse_tpu.problems import KineticFokkerPlanckOU
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                f"pde_instance.domain_dim={dim}",
+                "pde_instance.total_evolving_time=2",
+                "solver.name=PINN",
+                "solver.train.n_time_stamps=8",
+                "solver.train.sample_per_time=256",
+            ],
+        )
+        from pde_inverse_tpu.methods_pinn import PINNKinetic
+
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        method = PINNKinetic(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        return cfg, inst, method, net, params
+
+    def test_registry_dispatch_kinetic(self, rng):
+        from pde_inverse_tpu.methods_pinn import PINNKinetic
+        from pde_inverse_tpu.registry import get_method
+
+        cfg, *_ = self._setup(rng)
+        assert get_method(cfg) is PINNKinetic
+
+    def test_residual_zero_at_truth(self, rng):
+        dim = 2
+        cfg, inst, method, net, params = self._setup(rng, dim)
+        params_true = {
+            "params": {"F": {"kernel": inst.tilde_F / 2.0, "bias": jnp.zeros(dim)}}
+        }
+        t = jnp.float32(0.6)
+        mean, cov = inst.oracle.moments(t)
+        z = jax.random.normal(rng, (512, 2 * dim)) @ jnp.linalg.cholesky(cov).T + mean
+        r = method._residual(net.apply, params_true, t, z)
+        assert float(jnp.sqrt(jnp.mean(r**2))) < 5e-3, float(
+            jnp.sqrt(jnp.mean(r**2))
+        )
+
+    def test_training_recovers_drift(self, rng):
+        import optax
+
+        cfg, inst, method, net, params = self._setup(rng)
+
+        opt = optax.adam(3e-2)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            out = method.value_and_grad_fn(net.apply, params, key)
+            updates, opt_state = opt.update(out["grad"], opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, out
+
+        opt_state = opt.init(params)
+        init_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
+        for k in jax.random.split(rng, 400):
+            params, opt_state, out = step(params, opt_state, k)
+        final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
+        assert np.isfinite(float(out["loss"]))
+        assert final_err < 0.2 * init_err, (init_err, final_err)
