@@ -154,11 +154,16 @@ class Trainer:
                 restored = mgr.restore(
                     latest,
                     args=ocp.args.StandardRestore(
-                        {"params": params, "opt_state": opt_state}
+                        {
+                            "params": params,
+                            "opt_state": opt_state,
+                            "ema_state": ema_state,
+                        }
                     ),
                 )
                 params = restored["params"]
                 opt_state = restored["opt_state"]
+                ema_state = restored["ema_state"]
                 start_step = latest
                 print(f"[trainer] resumed from checkpoint step {latest}")
 
@@ -238,7 +243,11 @@ class Trainer:
                 mgr.save(
                     step,
                     args=ocp.args.StandardSave(
-                        {"params": carry[0], "opt_state": carry[1]}
+                        {
+                            "params": carry[0],
+                            "opt_state": carry[1],
+                            "ema_state": carry[2],
+                        }
                     ),
                 )
 
