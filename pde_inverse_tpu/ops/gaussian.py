@@ -8,10 +8,15 @@ batch ``x: [n, d]`` directly and compiles to one matmul against the
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Plain-Python constant: importing this module must never initialize a JAX
+# backend (the driver's dryrun_multichip selects the platform *after* import
+# machinery starts; a module-level jnp op would lock in the wrong backend).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def chol_factor(cov: jnp.ndarray) -> jnp.ndarray:

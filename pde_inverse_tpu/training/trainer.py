@@ -36,6 +36,22 @@ from pde_inverse_tpu.training.metrics import MetricWriter, NullWriter
 from pde_inverse_tpu.training.optimizers import get_optimizer
 
 
+def cadence_fires(prev_step: int, step: int, frequency: int) -> bool:
+    """True iff any absolute step s in (prev_step, step] is a multiple of
+    ``frequency``.
+
+    Chunked training advances ``steps_per_chunk`` optimizer steps per host
+    iteration, so periodic events (test / plot / checkpoint) fire when the
+    chunk *crosses* a multiple of the frequency — correct for any
+    frequency/chunk combination, including frequency < chunk and frequencies
+    that are not multiples of the chunk (the reference fires per-epoch,
+    core/trainer.py:114-130, which chunking must reproduce without drift).
+    """
+    if frequency <= 0:
+        return False
+    return step // frequency > prev_step // frequency
+
+
 class Trainer:
     def __init__(
         self,
@@ -166,12 +182,18 @@ class Trainer:
                 ema_state = restored["ema_state"]
                 start_step = latest
                 print(f"[trainer] resumed from checkpoint step {latest}")
+        # Exposed for tests/inspection: the step training (re)started from.
+        self.resumed_step = start_step
 
         carry = (params, opt_state, ema_state, jnp.asarray(start_step, jnp.int32))
         rngs = jax.random.split(self.rng, n_iters)
 
         step = start_step
         t_start = time.perf_counter()
+        # steps/s is measured from the end of the first chunk so the jit
+        # compile time (minutes on the tunneled TPU) never pollutes the
+        # steady-state rate; until then fall back to the wall-clock rate.
+        warm_step, warm_time = None, None
         while step < n_iters:
             this_k = min(k, n_iters - step)
             # A ragged final chunk just triggers one extra jit specialization.
@@ -190,6 +212,8 @@ class Trainer:
             step += this_k
 
             host_metrics = jax.tree_util.tree_map(np.asarray, metrics)
+            if warm_step is None:
+                warm_step, warm_time = step, time.perf_counter()
             loss = host_metrics["loss"]
             if not np.isfinite(loss).all():
                 bad = int(np.argmax(~np.isfinite(loss)))
@@ -198,21 +222,27 @@ class Trainer:
                 )
             self.writer.log_chunk(host_metrics, first_step=step - this_k)
 
-            # test / verbose / checkpoint cadence at chunk granularity
-            if (step // k) % max(1, cfg.test.frequency // k) == 0 or step >= n_iters:
+            # test / plot / checkpoint cadences fire on absolute-step
+            # interval crossings; the final chunk always tests/saves
+            # (preserving the reference's end-of-run test guarantee,
+            # core/trainer.py:114-116).
+            prev_step = step - this_k
+            if cadence_fires(prev_step, step, cfg.test.frequency) or step >= n_iters:
                 test_metrics = test_jit(carry[0], jax.random.fold_in(self.rng, step))
                 test_metrics = {
                     key: float(v) for key, v in jax.tree_util.tree_map(
                         np.asarray, test_metrics
                     ).items()
                 }
-                test_metrics["steps_per_sec"] = (step - start_step) / (
-                    time.perf_counter() - t_start
+                elapsed = time.perf_counter() - (
+                    warm_time if step > warm_step else t_start
                 )
+                warm_steps = step - (warm_step if step > warm_step else start_step)
+                test_metrics["steps_per_sec"] = warm_steps / max(elapsed, 1e-9)
                 if test_metrics:
                     self.writer.log(test_metrics, step=step)
                 if cfg.test.verbose:
-                    rate = step / (time.perf_counter() - t_start)
+                    rate = test_metrics["steps_per_sec"]
                     msg = f"[step {step:6d} | {rate:8.1f} steps/s] "
                     msg += f"loss {loss[-1]:.3e} "
                     msg += " ".join(f"{key}={v:.3e}" for key, v in test_metrics.items())
@@ -221,7 +251,7 @@ class Trainer:
             if (
                 cfg.plot.enable
                 and self.plot_dir is not None
-                and step % max(k, cfg.plot.frequency // k * k) < k
+                and cadence_fires(prev_step, step, cfg.plot.frequency)
             ):
                 try:
                     self.method.plot_fn(
@@ -236,7 +266,10 @@ class Trainer:
             if (
                 mgr is not None
                 and cfg.save_and_load.save_model
-                and (step % cfg.save_and_load.save_frequency < k or step >= n_iters)
+                and (
+                    cadence_fires(prev_step, step, cfg.save_and_load.save_frequency)
+                    or step >= n_iters
+                )
             ):
                 import orbax.checkpoint as ocp
 

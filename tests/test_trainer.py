@@ -15,7 +15,35 @@ from pde_inverse_tpu.models.parametric import recovered_quadratic_matrix
 from pde_inverse_tpu.parallel.mesh import build_mesh
 from pde_inverse_tpu.problems import KineticFokkerPlanckOU
 from pde_inverse_tpu.training.metrics import JsonlWriter
-from pde_inverse_tpu.training.trainer import Trainer
+from pde_inverse_tpu.training.trainer import Trainer, cadence_fires
+
+
+class TestCadence:
+    """Periodic events must fire on absolute-step interval crossings for any
+    frequency/chunk combination (VERDICT r1: the old chunk-granular modulo
+    silently changed meaning when frequency < chunk or was not a multiple
+    of it)."""
+
+    @pytest.mark.parametrize("freq,chunk", [(3, 10), (10, 3), (7, 5), (100, 100), (1, 4)])
+    def test_matches_per_step_reference(self, freq, chunk):
+        n = 50
+        fire_steps = {s for s in range(1, n + 1) if s % freq == 0}
+        covered = set()
+        step = 0
+        while step < n:
+            prev, step = step, min(step + chunk, n)
+            in_chunk = fire_steps & set(range(prev + 1, step + 1))
+            # fires iff the chunk contains at least one per-step fire point
+            assert cadence_fires(prev, step, freq) == bool(in_chunk)
+            covered |= in_chunk
+        assert covered == fire_steps
+
+    def test_no_fire_without_crossing(self):
+        assert not cadence_fires(10, 12, 20)
+        assert cadence_fires(19, 21, 20)
+        assert cadence_fires(0, 100, 20)
+        assert not cadence_fires(5, 5, 5)  # empty interval
+        assert not cadence_fires(0, 5, 0)  # disabled frequency
 
 
 def _cfg(n_iters=200, chunk=50, extra=()):
@@ -113,7 +141,30 @@ class TestTrainer:
         inst, trainer = _build(cfg, rng)
         params = trainer.fit()
         assert os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
+        saved = jax.device_get(params)
 
+        # Resume with the SAME iteration budget: the trainer must restore at
+        # step 20, run zero further steps, and hand back params that are
+        # bitwise-equal to the checkpoint (a restore that silently
+        # reinitialized would fail this).
+        cfg_same = _cfg(
+            n_iters=20,
+            chunk=10,
+            extra=[
+                "save_and_load.load_model=True",
+                f"save_and_load.model_directory={ckpt_dir}",
+            ],
+        )
+        _, trainer_same = _build(cfg_same, rng)
+        params_same = jax.device_get(trainer_same.fit())
+        assert trainer_same.resumed_step == 20
+        for a, b in zip(
+            jax.tree_util.tree_leaves(saved), jax.tree_util.tree_leaves(params_same)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Resume with a larger budget: training continues from step 20 and
+        # the params move away from the checkpoint.
         cfg2 = _cfg(
             n_iters=30,
             chunk=10,
@@ -125,7 +176,12 @@ class TestTrainer:
             ],
         )
         inst2, trainer2 = _build(cfg2, rng)
-        params2 = trainer2.fit()
-        # resumed params differ from a fresh init and are finite
-        k2 = recovered_quadratic_matrix(jax.device_get(params2))
-        assert np.isfinite(np.asarray(k2)).all()
+        params2 = jax.device_get(trainer2.fit())
+        assert trainer2.resumed_step == 20
+        k_saved = np.asarray(recovered_quadratic_matrix(saved))
+        k2 = np.asarray(recovered_quadratic_matrix(params2))
+        assert np.isfinite(k2).all()
+        assert not np.array_equal(k_saved, k2)
+        # and the continued run checkpointed step 30
+        mgr_steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+        assert 30 in mgr_steps
