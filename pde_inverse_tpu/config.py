@@ -36,9 +36,12 @@ class PDEInstanceConfig:
     total_evolving_time: float = 2.0
     # online | offline  (offline pre-generates a fixed dataset)
     sample_mode: str = "online"
-    # Optional .npz path for the offline dataset: generated-and-saved on
-    # first use, memory-mapped-loaded afterwards (the reference regenerates
-    # the full 500k/200k/20k x 400 dataset every run).
+    # Optional path for the offline dataset (the reference regenerates the
+    # full 500k/200k/20k x 400 dataset every run).  A directory path uses
+    # the raw memmap array-store format: generated in device shards
+    # streamed to disk on first use, memory-mapped on reload (bounded host
+    # RSS for >RAM stores).  A legacy .npz path loads whole arrays into
+    # host memory.
     dataset_path: str = ""
     # --- SDE (Langevin) sampling parameters (GMM instances) ---
     n_steps: int = 100
@@ -80,6 +83,12 @@ class NetworkConfig:
     # Width of the final squared-feature layer of the potential MLP.  The
     # reference hardcodes 40 (core/model.py:43); 128 aligns to TPU lanes.
     feature_dim: int = 128
+    # Random-Fourier front end for the non-parametric MLP (0 = off): input
+    # is augmented with [cos(xB), sin(xB)], B ~ N(0, fourier_scale^2).
+    # Plain tanh MLPs plateau ~1e-1 gradient rel-error on the multi-basin
+    # GMM potential (scripts/diag_capacity.py); Fourier features fix it.
+    fourier_features: int = 0
+    fourier_scale: float = 1.0
     # Compute dtype for the MLP hidden path ("float32" | "bfloat16").
     dtype: str = "float32"
 
@@ -168,6 +177,12 @@ class CheckpointConfig:
 class LogDensityConfig:
     """Normalizing-flow density-estimation trainer (reference L6)."""
 
+    # Where the PINN solver's log-density knowledge comes from:
+    # "exact"   — the problem's closed-form Gaussian path law;
+    # "learned" — train a time-conditioned RealNVP by MLE on the offline
+    #             dataset first and differentiate it (the reference's
+    #             dormant main.py:50 intent, live end-to-end here).
+    source: str = "exact"
     num_epochs: int = 20_000
     batch_size_time: int = 50
     embed_time_dim: int = 10

@@ -72,6 +72,23 @@ def run(cfg: Config):
 
     pde_instance = get_pde_instance(cfg)(cfg=cfg, rng=seeds["rng_problem"])
     method = get_method(cfg)(pde_instance=pde_instance, cfg=cfg, rng=seeds["rng_method"])
+
+    if cfg.solver.name == "PINN" and cfg.log_density.source == "learned":
+        # The reference's dormant design intent (main.py:50): estimate the
+        # log-density by MLE on the offline trajectories, then hand the
+        # learned flow to the solver.  Live end-to-end here.
+        from pde_inverse_tpu.density.estimation import estimate_log_density
+
+        if getattr(pde_instance, "dataset", None) is None:
+            raise ValueError(
+                "log_density.source='learned' requires an offline dataset "
+                "(pde_instance.sample_mode=offline)"
+            )
+        print("[main] training RealNVP log-density on the offline dataset ...")
+        method.log_density_fn = estimate_log_density(
+            cfg, pde_instance, seeds["rng_log_density"], verbose=cfg.test.verbose
+        )
+
     net, params = method.create_model_fn()
     optimizer = get_optimizer(cfg.train.optimizer)
 

@@ -32,5 +32,7 @@ def get_model(cfg: Config, pde_instance=None):
             feature_dim=net.feature_dim,
             activation=net.activation,
             dtype=dtype,
+            fourier_features=net.fourier_features,
+            fourier_scale=net.fourier_scale,
         )
     raise ValueError(f"unknown estimation_mode {cfg.estimation_mode!r}")

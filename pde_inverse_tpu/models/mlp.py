@@ -33,17 +33,36 @@ _ACTIVATIONS = {
 
 
 class PotentialMLP(nn.Module):
-    """V(x) = sum_i h(x)_i^2 with h an MLP — smooth, >= 0, scalar."""
+    """V(x) = sum_i h(x)_i^2 with h an MLP — smooth, >= 0, scalar.
+
+    Optional random-Fourier front end (``fourier_features > 0``): the input
+    is augmented with [cos(xB), sin(xB)], B ~ N(0, fourier_scale^2),
+    trainable.  Plain tanh MLPs are spectrally biased toward very smooth
+    functions and plateau near 1e-1 gradient rel-error on the multi-basin
+    GMM potential (measured by scripts/diag_capacity.py); Fourier features
+    restore the length-scale-1 detail the softmax basin boundaries need.
+    """
 
     hidden_dims: Sequence[int]
     feature_dim: int = 128
     activation: str = "tanh"
     dtype: jnp.dtype = jnp.float32
+    fourier_features: int = 0
+    fourier_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = _ACTIVATIONS[self.activation]
         h = x.astype(self.dtype)
+        if self.fourier_features > 0:
+            B = self.param(
+                "fourier_B",
+                nn.initializers.normal(stddev=self.fourier_scale),
+                (x.shape[-1], self.fourier_features),
+                jnp.float32,
+            )
+            proj = h @ B.astype(self.dtype)
+            h = jnp.concatenate([h, jnp.cos(proj), jnp.sin(proj)], axis=-1)
         for width in self.hidden_dims:
             h = nn.Dense(
                 width,

@@ -59,6 +59,11 @@ class FokkerPlanck(ProblemInstance):
         self.distribution_initial = Gaussian.create(m0, P0)
         self.distribution_initial_x = self.distribution_initial
         self.distribution_terminal = Gaussian.create(mT, PT)
+        self.dataset = None
+        if self.sample_mode == "offline":
+            self.dataset = jax.jit(self.generate_ground_truth_dataset)(
+                jax.random.fold_in(rng, 17)
+            )
 
     def V_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
         return 0.5 * jnp.einsum("...i,ij,...j->...", x, self.F, x)
@@ -80,6 +85,40 @@ class FokkerPlanck(ProblemInstance):
         uniformly)."""
         rng_t, _ = jax.random.split(rng)
         return self.distribution_time.sample(batch_size, rng_t)
+
+    def generate_ground_truth_dataset(self, rng: jax.Array) -> dict:
+        """Offline dataset from the EXACT Gaussian path law (no SDE error):
+        {initial [Ni, d], terminal [Nt, d], 0T [n_traj, n_time, d],
+        tau_0T [n_traj, n_time]}.
+
+        Each "trajectory" is a set of independent exact draws on its own
+        phase-shifted time grid, mirroring the per-trajectory shifted grids
+        of the reference's Langevin offline store (…GMM.py:187-202) so every
+        time in (0, T] is reachable by the strided offline subsampler.  The
+        reference has no offline mode for its overdamped instance; this one
+        exists chiefly to feed the log-density-estimation -> PINN pipeline.
+        """
+        p = self.cfg.pde_instance
+        rng_i, rng_t, rng_shift, rng_x = jax.random.split(rng, 4)
+        n_traj, n_time = p.sample_0T_size, p.n_steps_0T
+        dt = p.total_evolving_time / n_time
+
+        dataset = {
+            "initial": self.distribution_initial.sample(p.sample_initial_size, rng_i),
+            "terminal": self.distribution_terminal.sample(
+                p.sample_terminal_size, rng_t
+            ),
+        }
+        # per-trajectory grids: tau[j, k] = (k+1) * dt - shift_j, shift in [0, dt)
+        shifts = jax.random.uniform(rng_shift, (n_traj, 1), maxval=dt)
+        taus = jnp.arange(1, n_time + 1) * dt - shifts  # [n_traj, n_time]
+        means, covs = self.moments(taus.reshape(-1))  # [N, d], [N, d, d]
+        chols = jnp.linalg.cholesky(covs)
+        eps = jax.random.normal(rng_x, (n_traj * n_time, self.dim))
+        x = jnp.einsum("nij,nj->ni", chols, eps) + means
+        dataset["0T"] = x.reshape(n_traj, n_time, self.dim)
+        dataset["tau_0T"] = taus
+        return dataset
 
     def create_parametric_model(self):
         return QuadraticFormModel(dim=self.dim)

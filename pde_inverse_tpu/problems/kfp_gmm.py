@@ -65,21 +65,127 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.dataset = self._load_or_generate_dataset(rng_dataset)
 
     def _load_or_generate_dataset(self, rng: jax.Array) -> dict:
-        """Generate the offline dataset on device, optionally persisting it
-        to (and reloading it from) cfg.pde_instance.dataset_path."""
+        """Generate the offline dataset, optionally persisting it to (and
+        reloading it from) cfg.pde_instance.dataset_path.
+
+        A path WITHOUT an .npz suffix uses the raw memmap array-store
+        format (utils/data.py): generation streams fixed-shape device
+        shards straight to disk and reloading maps pages on demand, so
+        stores larger than host RAM never hold a full in-memory copy
+        (round-1 review: np.savez/np.load decompress whole arrays into
+        anonymous host memory).  An .npz path keeps the legacy behavior.
+        """
         import os
 
         import numpy as np
 
         path = self.cfg.pde_instance.dataset_path
-        if path and os.path.exists(path):
-            with np.load(path) as z:
-                return {k: jnp.asarray(z[k]) for k in z.files}
-        dataset = jax.jit(self.generate_ground_truth_dataset)(rng)
-        if path:
+        if path and path.endswith(".npz"):
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    return {k: jnp.asarray(z[k]) for k in z.files}
+            dataset = jax.jit(self.generate_ground_truth_dataset)(rng)
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             np.savez(path, **{k: np.asarray(v) for k, v in dataset.items()})
-        return dataset
+            return dataset
+        if path:
+            from pde_inverse_tpu.utils.data import load_array_store
+
+            if not os.path.exists(os.path.join(path, "manifest.json")):
+                self._generate_dataset_to_store(path, rng)
+            store = load_array_store(path)
+            return {k: jnp.asarray(v) for k, v in store.items()}
+        return jax.jit(self.generate_ground_truth_dataset)(rng)
+
+    # Max elements generated per device shard when streaming to disk
+    # (~256 MB of f32); shards are fixed-shape so each stage compiles once.
+    _STORE_SHARD_ELEMENTS = 64_000_000
+
+    def _generate_dataset_to_store(self, path: str, rng: jax.Array) -> str:
+        """Stream the offline dataset to a raw array store in fixed-shape
+        device shards: exact initial draws, simulated terminal particles,
+        and simulated 0T trajectories, each written into its memmap as it
+        lands.  Peak device/host memory is one shard, independent of the
+        total store size."""
+        import numpy as np
+
+        from pde_inverse_tpu.utils.data import ArrayStoreWriter
+
+        p = self.cfg.pde_instance
+        d2 = 2 * self.dim
+        writer = ArrayStoreWriter(path)
+        rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
+
+        def shard_loop(total, per_item_elems, gen_fn, out_mm, key):
+            """gen_fn(key, start, size) -> [size, ...]; fixed shard size so
+            the generation program compiles once; the final shard is
+            generated full-size and sliced."""
+            shard = max(1, min(total, self._STORE_SHARD_ELEMENTS // per_item_elems))
+            gen = jax.jit(gen_fn, static_argnums=(2,))
+            for start in range(0, total, shard):
+                n = min(shard, total - start)
+                out = gen(jax.random.fold_in(key, start), start, shard)
+                out_mm[start : start + n] = np.asarray(out[:n])
+            out_mm.flush()
+
+        init_mm = writer.create("initial", (p.sample_initial_size, d2), np.float32)
+        shard_loop(
+            p.sample_initial_size,
+            d2,
+            lambda k, s, n: self.distribution_initial.sample(n, k),
+            init_mm,
+            rng_init,
+        )
+
+        dt_term = p.total_evolving_time / p.n_steps_terminal
+
+        def gen_terminal(key, start, n):
+            k0, k1 = jax.random.split(key)
+            z0 = self.distribution_initial.sample(n, k0)
+            term, _, _ = simulate(
+                k1,
+                z0,
+                p.n_steps_terminal,
+                dt_term,
+                self.potential,
+                self.gamma_friction,
+                return_trajectory=False,
+            )
+            return term
+
+        term_mm = writer.create("terminal", (p.sample_terminal_size, d2), np.float32)
+        shard_loop(p.sample_terminal_size, d2, gen_terminal, term_mm, rng_term)
+
+        dt_0T = p.total_evolving_time / p.n_steps_0T
+
+        def gen_0T(key, start, n):
+            k0, k1 = jax.random.split(key)
+            z0 = self.distribution_initial.sample(n, k0)
+            _, traj, tau = simulate(
+                k1, z0, p.n_steps_0T, dt_0T, self.potential, self.gamma_friction
+            )
+            return traj, tau
+
+        traj_mm = writer.create(
+            "0T", (p.sample_0T_size, p.n_steps_0T, d2), np.float32
+        )
+        tau_mm = writer.create("tau_0T", (p.sample_0T_size, p.n_steps_0T), np.float32)
+        shard = max(
+            1,
+            min(
+                p.sample_0T_size,
+                self._STORE_SHARD_ELEMENTS // (p.n_steps_0T * d2),
+            ),
+        )
+        gen = jax.jit(gen_0T, static_argnums=(2,))
+        for start in range(0, p.sample_0T_size, shard):
+            n = min(shard, p.sample_0T_size - start)
+            traj, tau = gen(jax.random.fold_in(rng_0T, start), start, shard)
+            traj_mm[start : start + n] = np.asarray(traj[:n])
+            tau_mm[start : start + n] = np.asarray(tau[:n])
+        traj_mm.flush()
+        tau_mm.flush()
+        return writer.finalize()
 
     def V_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.potential.value(x)

@@ -39,11 +39,50 @@ def get_method(cfg: Config):
     # The reference declares a PINN solver config but implements no code
     # for it (configurations/solver/PINN.yaml, registry.py:29-32 raises);
     # here it is functional for the overdamped AND kinetic FP instances.
-    if cfg.solver.name == "PINN" and cfg.pde_instance.name.startswith("Kinetic"):
-        return PINNKinetic
-    methods = {"ConsistencyBased": ConsistencyBased, "PINN": PINN}
+    # PINN dispatch is guarded: the strong form needs pointwise density
+    # knowledge, which only Gaussian-path (Quadratic) instances provide in
+    # closed form; the overdamped PINN can alternatively consume a learned
+    # flow (log_density.source="learned") trained on an offline dataset.
+    if cfg.solver.name == "PINN":
+        name, pot = cfg.pde_instance.name, cfg.pde_instance.potential
+        if name == "Kinetic-McKean-Vlasov":
+            raise ValueError(
+                "PINN does not support Kinetic-McKean-Vlasov: the strong-form "
+                "residual assumes a potential force, not a mean-field "
+                "interaction. Use solver.name=ConsistencyBased."
+            )
+        if name.startswith("Kinetic"):
+            if pot != "Quadratic":
+                raise ValueError(
+                    f"PINN on {name} requires a Gaussian-path instance "
+                    f"(potential=Quadratic, closed-form phase-space law); got "
+                    f"potential={pot!r}. Use solver.name=ConsistencyBased for "
+                    "GMM instances."
+                )
+            if cfg.log_density.source == "learned":
+                raise ValueError(
+                    "log_density.source='learned' is only supported for the "
+                    "overdamped PINN (the learned flow models the position "
+                    "marginal, not the full phase-space law the kinetic "
+                    "residual needs)."
+                )
+            return PINNKinetic
+        if pot != "Quadratic" and cfg.log_density.source != "learned":
+            raise ValueError(
+                f"PINN on {name} with potential={pot!r} has no closed-form "
+                "path law; set log_density.source=learned with an offline "
+                "dataset, or use solver.name=ConsistencyBased."
+            )
+        if cfg.log_density.source == "learned" and cfg.pde_instance.sample_mode != "offline":
+            raise ValueError(
+                "log_density.source='learned' trains a flow on the offline "
+                "dataset: set pde_instance.sample_mode=offline."
+            )
+        return PINN
+    methods = {"ConsistencyBased": ConsistencyBased}
     if cfg.solver.name not in methods:
         raise KeyError(
-            f"unknown solver {cfg.solver.name!r}; available: {sorted(methods)}"
+            f"unknown solver {cfg.solver.name!r}; available: "
+            f"{sorted(methods) + ['PINN']}"
         )
     return methods[cfg.solver.name]
