@@ -163,6 +163,26 @@ def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndar
     return w
 
 
+def compute_weights_per_sample(
+    pde_instance, taus: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-sample-stamp weights: taus [n, nt] (each trajectory on its own
+    shifted grid, the offline-dataset layout), x [n, nt, d] -> [n, nt].
+    The oracle's spectral moments evaluate elementwise in t, so this is one
+    flat vmap over n*nt (time, point) pairs, not an n*nt Python loop."""
+    gamma = pde_instance.gamma_friction
+    d = x.shape[-1]
+    flat_t = taus.reshape(-1)
+    flat_x = x.reshape(-1, d)
+
+    def per_elem(s, xi):
+        d1 = pde_instance.partial_s_log_density_fn(s, xi[None])[0]
+        d2 = pde_instance.partial_s2_log_density_fn(s, xi[None])[0]
+        return d2 + d1**2 + gamma * d1
+
+    return jax.vmap(per_elem)(flat_t, flat_x).reshape(taus.shape)
+
+
 # Target element count for one chunk's flattened [chunk * n * nt, d] pass;
 # keeps peak live memory through the autodiff tape bounded (~a few hundred
 # MB) regardless of batch geometry.
@@ -172,19 +192,36 @@ _CHUNK_ELEMENT_BUDGET = 4_000_000
 def make_loss_fn(
     forward_fn, data, pde_instance, ref_chunk: int = REF_CHUNK, mesh_spec=None
 ):
-    taus = data["tau_0T"]  # [nt]
-    n_time = taus.shape[0]
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
-    x = x_0T.reshape(-1, n_time, d)  # [n, nt, d]
-    v = v_0T.reshape(-1, n_time, d)
+    if "tau_0T" in data:
+        # online grid_time: one shared stamp grid [nt]
+        taus = data["tau_0T"]
+        n_time = taus.shape[0]
+        x = x_0T.reshape(-1, n_time, d)  # [n, nt, d]
+        v = v_0T.reshape(-1, n_time, d)
+        weights = compute_weights(pde_instance, taus, x)  # [n, nt]
+    elif "tau_0T_per_traj" in data:
+        # offline: each trajectory carries its own (strided, shifted) stamps
+        # [n, nt]; the reference's offline policy has no KMV-usable stamps
+        # at all (methods/consistency.py:90-118) — this path is new.
+        taus_nm = data["tau_0T_per_traj"]
+        n_traj, n_time = taus_nm.shape
+        x = x_0T.reshape(n_traj, n_time, d)
+        v = v_0T.reshape(n_traj, n_time, d)
+        weights = compute_weights_per_sample(pde_instance, taus_nm, x)
+    else:
+        raise ValueError(
+            "KMV loss needs time stamps: online grid_time sampling provides "
+            "'tau_0T'; offline datasets must carry per-trajectory stamps "
+            "('tau_0T' in the stored dataset, surfaced as 'tau_0T_per_traj' "
+            "by the offline data policy). Got keys: " + str(sorted(data))
+        )
     refs = x  # empirical mean-field measure = the samples themselves
 
     # auto-scale the ref chunk so chunk * n * nt stays within budget
     per_ref = max(1, x.shape[0] * n_time)
     ref_chunk = max(1, min(ref_chunk, _CHUNK_ELEMENT_BUDGET // per_ref))
-
-    weights = compute_weights(pde_instance, taus, x)  # [n, nt]
 
     Phi_true = pde_instance.Phi_true_fn
     true_stats = _pairwise_stats(
@@ -237,14 +274,25 @@ def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=Non
     }
 
 
-def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000):
-    """Relative L2 error of grad Phi over pairwise differences of initial
-    samples (the reference's KMV test_fn returns {}; this one is live)."""
+def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000, n_times: int = 8):
+    """Relative L2 error of grad Phi over pairwise differences of PATH
+    samples across the whole time horizon (the reference's KMV test_fn
+    returns {}).
+
+    Probe set: for each of n_times stamps t ~ U(0, T], draw batch_size
+    exact path samples, pair each with a random permutation of the batch,
+    and evaluate on the differences — the same distribution of arguments
+    the mean-field convolution integrates over, not just a t=0 slice."""
     Phi = lambda x: forward_fn(x)[0]
-    z = pde_instance.distribution_initial.sample(batch_size, rng)
-    x, _ = jnp.split(z, 2, axis=-1)
-    # evaluate on differences x_i - x_{i+1} (cheap O(n) probe set)
-    diff = x - jnp.roll(x, 1, axis=0)
+    rng_t, rng_z, rng_perm = jax.random.split(rng, 3)
+    ts = pde_instance.distribution_time.sample(n_times, rng_t)
+    means, covs = pde_instance.oracle.moments_grid(ts)  # [t, D], [t, D, D]
+    chols = jnp.linalg.cholesky(covs)
+    eps = jax.random.normal(rng_z, (batch_size, n_times, means.shape[-1]))
+    z = jnp.einsum("tij,ntj->nti", chols, eps) + means  # [n, t, D]
+    x = z[..., : pde_instance.dim].reshape(-1, pde_instance.dim)
+    partner = jax.random.permutation(rng_perm, x.shape[0])
+    diff = x - x[partner]
     pred = ad.batched_grad(Phi, diff)
     true = ad.batched_grad(pde_instance.Phi_true_fn, diff)
     rel = jnp.sqrt(

@@ -49,12 +49,24 @@ def maybe_init_distributed() -> None:
 
     On a TPU pod slice each host runs the same program;
     jax.distributed.initialize wires the hosts so jax.devices() spans the
-    whole slice and the mesh covers all chips.  No-op on a single host.
+    whole slice and the mesh covers all chips.  On TPU the coordinator is
+    auto-detected; elsewhere (or to override) set
+    PDE_INVERSE_TPU_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID.  No-op on a
+    single host.  Exercised by the 2-process CPU smoke test
+    (tests/test_multihost.py, Gloo collectives across processes).
     """
     import os
 
-    if os.environ.get("PDE_INVERSE_TPU_MULTIHOST") == "1":
-        jax.distributed.initialize()
+    if os.environ.get("PDE_INVERSE_TPU_MULTIHOST") != "1":
+        return
+    kwargs = {}
+    if "PDE_INVERSE_TPU_COORDINATOR" in os.environ:
+        kwargs = dict(
+            coordinator_address=os.environ["PDE_INVERSE_TPU_COORDINATOR"],
+            num_processes=int(os.environ["PDE_INVERSE_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["PDE_INVERSE_TPU_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 def run(cfg: Config):

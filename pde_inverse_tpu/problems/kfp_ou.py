@@ -73,6 +73,11 @@ class KineticFokkerPlanckOU(ProblemInstance):
         self.distribution_initial_x = Gaussian.create(c["m_x_0"], c["P_x_0"])
         mT, PT = self.oracle.moments(self.total_evolving_time)
         self.distribution_terminal = Gaussian.create(mT, PT)
+        self.dataset = None
+        if self.sample_mode == "offline":
+            self.dataset = jax.jit(self.generate_ground_truth_dataset)(
+                jax.random.fold_in(rng, 17)
+            )
 
     # -- truth ---------------------------------------------------------------
 
@@ -124,6 +129,50 @@ class KineticFokkerPlanckOU(ProblemInstance):
         if isinstance(batch_size, int):
             return self.distribution_time.sample(batch_size // 100, rng_t)
         return self._grid_times(rng_t, batch_size[0])
+
+    # -- offline dataset ---------------------------------------------------------
+
+    # Number of distinct phase-shifted time grids shared among trajectories
+    # (the exact-law analogue of the reference's per-trajectory shifted
+    # Langevin grids, …GMM.py:187-202; grouping bounds the moment-oracle
+    # evaluations at G*n_time instead of n_traj*n_time).
+    _N_SHIFT_GROUPS = 64
+
+    def generate_ground_truth_dataset(self, rng: jax.Array) -> dict:
+        """{initial [Ni, 2d], terminal [Nt, 2d], 0T [n_traj, n_time, 2d],
+        tau_0T [n_traj, n_time]} drawn from the EXACT Gaussian path law (no
+        SDE discretization error).  Neither the reference nor round 1 had an
+        offline mode for the OU-family instances; this one enables offline
+        consistency training AND offline KMV (whose loss consumes the
+        per-trajectory stamps as 'tau_0T_per_traj')."""
+        p = self.cfg.pde_instance
+        rng_i, rng_t, rng_shift, rng_x = jax.random.split(rng, 4)
+        n_traj, n_time = p.sample_0T_size, p.n_steps_0T
+        D = 2 * self.dim
+        dt = p.total_evolving_time / n_time
+
+        dataset = {
+            "initial": self.distribution_initial.sample(p.sample_initial_size, rng_i),
+            "terminal": self.distribution_terminal.sample(
+                p.sample_terminal_size, rng_t
+            ),
+        }
+
+        G = min(n_traj, self._N_SHIFT_GROUPS)
+        reps = -(-n_traj // G)  # trajectories per group (last group padded)
+        shifts = jax.random.uniform(rng_shift, (G, 1), maxval=dt)
+        taus_g = jnp.arange(1, n_time + 1) * dt - shifts  # [G, n_time]
+        means, covs = self.oracle.moments_grid(taus_g.reshape(-1))
+        chols = jnp.linalg.cholesky(covs).reshape(G, n_time, D, D)
+        means = means.reshape(G, n_time, D)
+        eps = jax.random.normal(rng_x, (G, reps, n_time, D))
+        z = jnp.einsum("gtij,grtj->grti", chols, eps) + means[:, None]
+        # interleave groups so trajectory j uses grid j % G
+        z = z.transpose(1, 0, 2, 3).reshape(-1, n_time, D)[:n_traj]
+        taus = jnp.tile(taus_g, (reps, 1))[:n_traj]
+        dataset["0T"] = z
+        dataset["tau_0T"] = taus
+        return dataset
 
     # -- models ----------------------------------------------------------------
 
