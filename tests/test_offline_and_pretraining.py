@@ -244,6 +244,43 @@ class TestOfflineExactOUFamily:
             np.asarray(w_shared), np.asarray(w_per), rtol=2e-4, atol=2e-4
         )
 
+    def test_kmv_nonparametric_online_step(self, rng):
+        """Non-parametric interaction kernel (MLP Phi) on KMV: the loss,
+        grad, and live test metric must all work — a capability cell the
+        reference declares axes for but never runs (its KMV scripts are
+        parametric-only, scripts/parametric/KMV/*)."""
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-McKean-Vlasov",
+                "pde_instance.domain_dim=2",
+                "pde_instance.total_evolving_time=1",
+                "estimation_mode=non-parametric",
+                "neural_network.hidden_dim=16",
+                "neural_network.layers=2",
+                "neural_network.feature_dim=32",
+                "solver.train.sample_mode=grid_time",
+                "solver.train.n_time_stamps=2",
+                "solver.train.sample_per_time=32",
+                "solver.train.batch_size_init=0",
+                "solver.train.batch_size_terminal=0",
+            ],
+        )
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        out = jax.jit(lambda p, k: method.value_and_grad_fn(net.apply, p, k))(
+            params, rng
+        )
+        assert np.isfinite(float(out["loss"]))
+        for leaf in jax.tree_util.tree_leaves(out["grad"]):
+            assert np.isfinite(np.asarray(leaf)).all()
+        metrics = method.test_fn(net.apply, params, jax.random.fold_in(rng, 3))
+        (rel,) = metrics.values()
+        assert np.isfinite(float(rel))
+
     def test_kmv_missing_stamps_raises(self, rng):
         from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
         from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
