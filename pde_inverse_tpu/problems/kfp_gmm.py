@@ -207,6 +207,12 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         _, traj, _ = simulate(
             rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction
         )
+        stride = self.cfg.solver.train.path_stride
+        if stride > 1:
+            # static stride keeps shapes static; time coverage is preserved
+            # because every trajectory already carries its own random phase
+            # tau0 ~ U[0, dt), so strided states still visit all of (0, T]
+            traj = traj[:, ::stride]
         sample_0T = traj.reshape(-1, 2 * self.dim)
 
         sample_initial = self.distribution_initial.sample(
