@@ -44,6 +44,10 @@ class PDEInstanceConfig:
     # host memory.
     dataset_path: str = ""
     # --- SDE (Langevin) sampling parameters (GMM instances) ---
+    # "euler" (reference parity, O(dt) weak error) | "baoab"
+    # (Leimkuhler-Matthews splitting, O(dt^2) weak error, same cost —
+    # lowers the discretization-bias floor of SDE-sampled instances)
+    integrator: str = "euler"
     n_steps: int = 100
     sample_initial_size: int = 500_000
     sample_terminal_size: int = 200_000

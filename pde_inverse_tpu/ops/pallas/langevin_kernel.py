@@ -119,6 +119,7 @@ def _kernel(
     with_trajectory: bool,
     random_phase: bool,
     noise_scale: float,
+    integrator: str,
 ):
     *param_refs, final_ref, traj_ref, tau_ref = rest
     grad_fn = lambda q: grad_fn_raw(q, *param_refs)
@@ -137,9 +138,12 @@ def _kernel(
         tau0 = jnp.zeros((1, B), jnp.float32)
     tau_ref[:, :] = tau0
 
-    def em_step(q, p, step_dt):
-        # step_dt: scalar or [1, B] (broadcasts over the d axis)
-        noise = noise_scale * _normal((d, B)) if noise_scale else jnp.zeros((d, B))
+    def draw(shape):
+        return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
+
+    def em_step(q, p, g, step_dt):
+        # step_dt: scalar or [1, B] (broadcasts over the d axis); g unused
+        noise = draw((d, B))
         p_new = (
             p
             - step_dt * grad_fn(q)
@@ -147,27 +151,48 @@ def _kernel(
             - gamma * p * step_dt
         )
         q_new = q + step_dt * p_new
-        return q_new, p_new
+        return q_new, p_new, g
+
+    def baoab(q, p, g, step_dt):
+        # BAOAB splitting, O(dt^2) weak error; g carries grad U from the
+        # previous step's closing half-kick (one force eval per step, like
+        # EM).  See ops.langevin.baoab_step for the derivation.
+        half = 0.5 * step_dt
+        p = p - half * g
+        q = q + half * p
+        if gamma > 0.0:
+            c1 = jnp.exp(-gamma * step_dt)
+            c2 = jnp.sqrt((1.0 - c1 * c1) / gamma)
+        else:
+            c1, c2 = 1.0, jnp.sqrt(2.0 * step_dt)
+        p = c1 * p + c2 * draw((d, B))
+        q = q + half * p
+        g = grad_fn(q)
+        p = p - half * g
+        return q, p, g
+
+    step = baoab if integrator == "baoab" else em_step
+    g = grad_fn(q) if integrator == "baoab" else jnp.zeros((d, B), q.dtype)
 
     # phase step onto the first grid time tau0
-    q, p = em_step(q, p, tau0)
+    q, p, g = step(q, p, g, tau0)
 
     if with_trajectory:
         traj_ref[0, :d, :] = q
         traj_ref[0, d:, :] = p
 
     def body(i, carry):
-        q, p = carry
-        q, p = em_step(q, p, dt)
+        q, p, g = carry
+        q, p, g = step(q, p, g, dt)
         if with_trajectory:
             traj_ref[i, :d, :] = q
             traj_ref[i, d:, :] = p
-        return q, p
+        return q, p, g
 
-    q, p = jax.lax.fori_loop(1, n_steps, body, (q, p))
+    q, p, g = jax.lax.fori_loop(1, n_steps, body, (q, p, g))
 
     # closing partial step lands exactly on n_steps * dt
-    q, p = em_step(q, p, dt - tau0)
+    q, p, _ = step(q, p, g, dt - tau0)
     final_ref[:d, :] = q
     final_ref[d:, :] = p
 
@@ -184,6 +209,7 @@ def langevin_pallas(
     noise_scale: float = 1.0,
     block: int = DEFAULT_BLOCK,
     interpret=False,
+    integrator: str = "euler",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Drop-in analogue of ops.langevin.simulate_kinetic_langevin with a
     Pallas core.  z0: [n, 2d]; seed: int32 scalar (one PRNG stream per
@@ -220,6 +246,7 @@ def langevin_pallas(
         with_trajectory=return_trajectory,
         random_phase=random_phase,
         noise_scale=noise_scale,
+        integrator=integrator,
     )
 
     grid = (n_pad // block,)

@@ -36,8 +36,12 @@ def simulate(
     gamma: float,
     return_trajectory: bool = True,
     use_pallas: Optional[bool] = None,
+    integrator: str = "euler",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-    """(final [n, 2d], trajectory [n, n_steps, 2d] | None, taus | None)."""
+    """(final [n, 2d], trajectory [n, n_steps, 2d] | None, taus | None).
+
+    integrator: "euler" (reference parity) or "baoab" (O(dt^2) weak error
+    at the same one-force-eval-per-step cost)."""
     if use_pallas is None:
         use_pallas = _on_tpu() and pallas_supported_potential(potential)
     if use_pallas:
@@ -50,6 +54,7 @@ def simulate(
             potential,
             gamma,
             return_trajectory=return_trajectory,
+            integrator=integrator,
         )
     return simulate_kinetic_langevin(
         key,
@@ -59,4 +64,5 @@ def simulate(
         potential.gradient,
         gamma,
         return_trajectory=return_trajectory,
+        integrator=integrator,
     )

@@ -150,6 +150,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
                 self.potential,
                 self.gamma_friction,
                 return_trajectory=False,
+                integrator=self.cfg.pde_instance.integrator,
             )
             return term
 
@@ -162,7 +163,13 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             k0, k1 = jax.random.split(key)
             z0 = self.distribution_initial.sample(n, k0)
             _, traj, tau = simulate(
-                k1, z0, p.n_steps_0T, dt_0T, self.potential, self.gamma_friction
+                k1,
+                z0,
+                p.n_steps_0T,
+                dt_0T,
+                self.potential,
+                self.gamma_friction,
+                integrator=self.cfg.pde_instance.integrator,
             )
             return traj, tau
 
@@ -205,7 +212,8 @@ class KineticFokkerPlanckGMM(ProblemInstance):
 
         z0 = self.distribution_initial.sample(batch_size, rng_i0)
         _, traj, _ = simulate(
-            rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction
+            rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction,
+            integrator=self.cfg.pde_instance.integrator,
         )
         stride = self.cfg.solver.train.path_stride
         if stride > 1:
@@ -230,6 +238,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.potential,
             self.gamma_friction,
             return_trajectory=False,
+            integrator=self.cfg.pde_instance.integrator,
         )
         return sample_initial, sample_terminal, sample_0T
 
@@ -255,6 +264,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.potential,
             self.gamma_friction,
             return_trajectory=False,
+            integrator=self.cfg.pde_instance.integrator,
         )
 
         dt_0T = p.total_evolving_time / p.n_steps_0T
@@ -266,6 +276,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             dt_0T,
             self.potential,
             self.gamma_friction,
+            integrator=self.cfg.pde_instance.integrator,
         )
         return dataset
 

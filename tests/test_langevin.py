@@ -70,3 +70,65 @@ class TestLangevin:
         mean_exact, cov_exact = ou.lti_moments(F, L, m0, P0, jnp.float32(T))
         np.testing.assert_allclose(final.mean(0), mean_exact, atol=0.05)
         np.testing.assert_allclose(jnp.cov(final.T), cov_exact, atol=0.08)
+
+    def test_baoab_bias_beats_euler_at_coarse_dt(self, rng):
+        """BAOAB's weak error is O(dt^2) vs Euler-Maruyama's O(dt): at a
+        deliberately coarse dt the terminal covariance bias of BAOAB must be
+        several times smaller (both measured against the exact OU law with
+        enough particles that MC noise is negligible)."""
+        d = 2
+        gamma = 1.0
+        tilde_F, F, L, m0, P0 = _kinetic_setup(d, gamma)
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.linalg.inv(tilde_F))
+
+        T, n_steps, n = 1.0, 10, 400_000  # dt = 0.1, very coarse
+        z0 = jax.random.normal(rng, (n, 2 * d))
+        _, cov_exact = ou.lti_moments(F, L, m0, P0, jnp.float32(T))
+
+        errs = {}
+        for integrator in ("euler", "baoab"):
+            final, _, _ = lv.simulate_kinetic_langevin(
+                jax.random.fold_in(rng, 1),
+                z0,
+                n_steps,
+                T / n_steps,
+                pot.gradient,
+                gamma,
+                return_trajectory=False,
+                random_phase=False,
+                integrator=integrator,
+            )
+            cov = np.cov(np.asarray(final).T)
+            errs[integrator] = np.linalg.norm(cov - cov_exact) / np.linalg.norm(
+                cov_exact
+            )
+        assert errs["baoab"] < 0.4 * errs["euler"], errs
+        assert errs["baoab"] < 0.02, errs
+
+    def test_baoab_kernel_matches_scan_noiseless(self):
+        """Pallas BAOAB vs scan BAOAB with the noise zeroed on both sides:
+        trajectories and finals must agree (validates the in-kernel
+        splitting and force caching)."""
+        import unittest.mock as mock
+
+        from pde_inverse_tpu.ops.pallas.langevin_kernel import langevin_pallas
+
+        d, n, n_steps, dt, gamma = 2, 64, 10, 0.05, 1.0
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jax.random.normal(jax.random.PRNGKey(2), (n, 2 * d))
+
+        final_k, traj_k, taus_k = langevin_pallas(
+            jnp.int32(5), z0, n_steps, dt, pot, gamma,
+            return_trajectory=True, random_phase=False, noise_scale=0.0,
+            block=128, interpret=True, integrator="baoab",
+        )
+        with mock.patch.object(
+            lv.jax.random, "normal", lambda k, s, dtype=None: jnp.zeros(s)
+        ):
+            final_s, traj_s, taus_s = lv.simulate_kinetic_langevin(
+                jax.random.PRNGKey(3), z0, n_steps, dt, pot.gradient,
+                gamma, random_phase=False, integrator="baoab",
+            )
+        np.testing.assert_allclose(final_k, final_s, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(traj_k, traj_s, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(taus_k, taus_s, atol=1e-6)
