@@ -118,6 +118,11 @@ class OptimizerConfig:
     method: str = "SGD"  # reference name for its adam chain (main.py:12-26)
     momentum: float = 0.9
     weight_decay: float = 0.001
+    # Global-norm gradient clipping (0 = off, reference parity).  The
+    # weak-form objectives occasionally emit huge minibatch gradients that
+    # can destroy a non-parametric run mid-training; clip at O(1-10) for
+    # robust long runs.
+    grad_clip_norm: float = 0.0
     use_ema: bool = False
     ema_decay: float = 0.999
     # Step at which the EMA engages with a state reset.  The reference

@@ -33,7 +33,13 @@ def get_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         if cfg.method.lower() != "adam":
             raise ValueError(f"unknown optimizer method {cfg.method!r}")
     schedule = get_learning_rate(cfg)
-    return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.adam(learning_rate=schedule, b1=0.9, eps=1e-4),
-    )
+    steps = [optax.add_decayed_weights(cfg.weight_decay)]
+    if cfg.grad_clip_norm > 0:
+        # Global-norm clipping BEFORE the decay/Adam chain: the weak-form
+        # losses are unbounded below and occasionally emit a huge minibatch
+        # gradient that can blow up non-parametric training mid-run
+        # (observed on online KGMM at lr 1e-2); clipping bounds the update
+        # without touching steady-state dynamics.
+        steps.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
+    steps.append(optax.adam(learning_rate=schedule, b1=0.9, eps=1e-4))
+    return optax.chain(*steps)
