@@ -1,0 +1,115 @@
+"""Post-hoc analysis of a non-parametric KGMM checkpoint: where does the
+remaining gradient error live?
+
+The weak-form consistency loss only constrains grad V where the path
+measure rho_t has mass; the headline test metric draws from the BROAD
+initial law N(0, 4I).  This script loads the latest Orbax checkpoint of a
+non-parametric run, evaluates the gradient rel-L2 on (a) the initial law,
+(b) fresh path samples, and (c) initial samples binned by distance to the
+path support — evidence for whether the accuracy floor is estimator noise
+or data coverage.
+
+Usage: python scripts/analyze_np.py /tmp/np_ckpt_v4 [batch_size_0T=...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_inverse_tpu.config import preset
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.ops import autodiff as ad
+from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+
+def main(ckpt_dir: str, overrides):
+    enable_compilation_cache()
+    cfg = preset(
+        "KGMM",
+        [
+            "estimation_mode=non-parametric",
+            "neural_network.hidden_dim=64",
+            "neural_network.layers=2",
+            "neural_network.feature_dim=256",
+            "neural_network.fourier_features=64",
+            "neural_network.fourier_scale=1.0",
+            "pde_instance.n_steps=200",
+            "pde_instance.integrator=baoab",
+        ]
+        + list(overrides),
+    )
+    rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
+    inst = KineticFokkerPlanckGMM(cfg, rng_problem)
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
+    net, params = method.create_model_fn()
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    restored = mgr.restore(step, args=ocp.args.StandardRestore({"params": params}))
+    params = restored["params"]
+    print(f"restored step {step} from {ckpt_dir}")
+
+    V = lambda x: net.apply(params, x)[0]
+    V_true = inst.V_true_fn
+
+    def rel(x):
+        pred = ad.batched_grad(V, x)
+        true = ad.batched_grad(V_true, x)
+        num = jnp.sum((pred - true) ** 2, -1)
+        den = jnp.mean(jnp.sum(true**2, -1))
+        return num, den
+
+    key = jax.random.PRNGKey(123)
+    k_init, k_path = jax.random.split(key)
+
+    # (a) initial law
+    z0 = inst.distribution_initial.sample(50_000, k_init)
+    x0 = z0[:, : inst.dim]
+    num0, den0 = jax.jit(rel)(x0)
+    print(f"initial-law rel-L2: {float(jnp.sqrt(jnp.mean(num0) / den0)):.4e}")
+
+    # (b) path law (fresh simulation, 2000 trajectories)
+    _, _, path = jax.jit(lambda k: inst.sample_ground_truth(k, 2000))(k_path)
+    xp = path[:, : inst.dim]
+    nump, denp = jax.jit(rel)(xp)
+    print(f"path-law    rel-L2: {float(jnp.sqrt(jnp.mean(nump) / denp)):.4e}")
+
+    # (c) initial samples binned by distance to the path support
+    @jax.jit
+    def min_dist(x, p):
+        # one [n, m] distance matrix via matmul; fine for 50k x ~100k on chip
+        x2 = jnp.sum(x * x, -1, keepdims=True)
+        p2 = jnp.sum(p * p, -1)[None]
+        d2 = x2 + p2 - 2.0 * (x @ p.T)
+        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+    dist = np.asarray(min_dist(x0, xp))
+    num0 = np.asarray(num0)
+    den0 = float(den0)
+    qs = np.quantile(dist, [0.0, 0.5, 0.9, 0.99, 1.0])
+    print(f"distance-to-path-support quantiles (0/50/90/99/100%): {np.round(qs, 3)}")
+    for lo, hi, label in [
+        (0.0, qs[1], "nearest 50%"),
+        (qs[1], qs[2], "50-90%"),
+        (qs[2], qs[3], "90-99%"),
+        (qs[3], np.inf, "farthest 1%"),
+    ]:
+        m = (dist >= lo) & (dist < hi)
+        if m.sum():
+            r = float(np.sqrt(num0[m].mean() / den0))
+            print(
+                f"  initial-law rel-L2, {label:12s} (d in [{lo:.2f},"
+                f" {min(hi, dist.max()):.2f})): {r:.4e}  [{m.sum()} pts]"
+            )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
