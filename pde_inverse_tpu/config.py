@@ -391,6 +391,59 @@ PRESETS = {
         "solver.train.batch_size_init=0",
         "solver.train.batch_size_terminal=0",
     ],
+    # Offline KMV: exact-law dataset with per-trajectory stamps feeding the
+    # KMV loss's per-sample-weight path — a capability cell the reference
+    # advertises axes for but cannot run (consistency.py:90-118 emits no
+    # KMV-usable stamps).
+    "KMV-offline": [
+        "pde_instance.name=Kinetic-McKean-Vlasov",
+        "pde_instance.potential=Quadratic",
+        "pde_instance.domain_dim=2",
+        "pde_instance.sample_mode=offline",
+        "pde_instance.sample_initial_size=50000",
+        "pde_instance.sample_terminal_size=50000",
+        "pde_instance.sample_0T_size=5000",
+        "pde_instance.n_steps_0T=100",
+        "pde_instance.total_evolving_time=1",
+        "neural_network.hidden_dim=32",
+        "neural_network.layers=2",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "seed=2",
+        "estimation_mode=parametric",
+        "solver.train.batch_size_init=0",
+        "solver.train.batch_size_terminal=0",
+    ],
+    # Best-known ONLINE non-parametric KGMM recipe (round 2): Fourier MLP
+    # (supervised capacity 4.9e-3, scripts/diag_capacity.py), BAOAB data,
+    # EMA + gradient clipping, strided path batch.  Reaches ~2.4e-2
+    # initial-law gradient rel-error at 40k steps (~20 min on one v5e);
+    # the reference's offline recipe plateaus ~7e-2 here.
+    "KGMM-nonparametric-online": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=online",
+        "pde_instance.n_steps=200",
+        "pde_instance.integrator=baoab",
+        "solver.train.batch_size_0T=2500",
+        "solver.train.path_stride=2",
+        "neural_network.hidden_dim=64",
+        "neural_network.layers=2",
+        "neural_network.feature_dim=256",
+        "neural_network.fourier_features=64",
+        "neural_network.fourier_scale=1.0",
+        "train.number_of_iterations=40000",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "train.optimizer.learning_rate.cosine_decay_steps=40000",
+        "train.optimizer.use_ema=True",
+        "train.optimizer.ema_switch_step=20000",
+        "train.optimizer.grad_clip_norm=1.0",
+        "pde_instance.total_evolving_time=2",
+        "estimation_mode=non-parametric",
+        "seed=2",
+    ],
     # scripts/non-parametric/run_KGMM.sh
     "KGMM-nonparametric": [
         "pde_instance.name=Kinetic-Fokker-Planck",

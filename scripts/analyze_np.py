@@ -82,16 +82,27 @@ def main(ckpt_dir: str, overrides):
     nump, denp = jax.jit(rel)(xp)
     print(f"path-law    rel-L2: {float(jnp.sqrt(jnp.mean(nump) / denp)):.4e}")
 
-    # (c) initial samples binned by distance to the path support
+    # (c) initial samples binned by distance to the path support.
+    # Subsample the support set and chunk the test axis so the pairwise
+    # distance block stays ~160 MB instead of the full n x m matrix.
+    support = xp[
+        jax.random.permutation(jax.random.PRNGKey(7), xp.shape[0])[:20_000]
+    ]
+
     @jax.jit
     def min_dist(x, p):
-        # one [n, m] distance matrix via matmul; fine for 50k x ~100k on chip
-        x2 = jnp.sum(x * x, -1, keepdims=True)
         p2 = jnp.sum(p * p, -1)[None]
-        d2 = x2 + p2 - 2.0 * (x @ p.T)
-        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
-    dist = np.asarray(min_dist(x0, xp))
+        def chunk_min(xc):
+            x2 = jnp.sum(xc * xc, -1, keepdims=True)
+            d2 = x2 + p2 - 2.0 * (xc @ p.T)
+            return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+        return jax.lax.map(chunk_min, x.reshape(-1, 2048, x.shape[-1])).reshape(-1)
+
+    n_keep = (x0.shape[0] // 2048) * 2048
+    x0, num0 = x0[:n_keep], num0[:n_keep]
+    dist = np.asarray(min_dist(x0, support))
     num0 = np.asarray(num0)
     den0 = float(den0)
     qs = np.quantile(dist, [0.0, 0.5, 0.9, 0.99, 1.0])

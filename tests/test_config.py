@@ -46,7 +46,17 @@ class TestOverrides:
 
 class TestPresets:
     @pytest.mark.parametrize(
-        "name", ["OU", "KOU", "KGMM", "KGMM-offline", "KGMM-nonparametric", "KMV"]
+        "name",
+        [
+            "OU",
+            "KOU",
+            "KGMM",
+            "KGMM-offline",
+            "KGMM-nonparametric",
+            "KGMM-nonparametric-online",
+            "KMV",
+            "KMV-offline",
+        ],
     )
     def test_all_presets_build(self, name):
         cfg = preset(name)
