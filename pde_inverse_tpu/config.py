@@ -73,6 +73,12 @@ class SolverTrainConfig:
     # loss-evaluation cost ~stride-fold at minimal estimator-variance cost
     # (the offline policy already strides by 5, consistency.py:96-118).
     path_stride: int = 1
+    # Parametric KMV fast path: when the hypothesis is the exactly-
+    # quadratic QuadraticFormModel, compute the mean-field expectations
+    # from per-stamp sufficient statistics (O(n), exact) instead of the
+    # O(n^2) pairwise grid.  Identical loss values (tested); disable to
+    # force the generic pairwise reduction.
+    kmv_closed_form: bool = True
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,7 @@ class ConsistencyBased(Method):
         from pde_inverse_tpu.models import get_model
 
         net = get_model(self.cfg, self.pde_instance)
+        self._model = net
         z = self.pde_instance.distribution_initial.sample(1, jax.random.PRNGKey(1))[0]
         if self.cfg.pde_instance.name.startswith("Kinetic"):
             x = jnp.split(z, 2, axis=-1)[0]
@@ -72,9 +73,25 @@ class ConsistencyBased(Method):
         params = net.init(jax.random.PRNGKey(11), x)
         return net, params
 
+    def _kmv_closed_form(self) -> bool:
+        """Parametric KMV with an exactly-quadratic kernel: the pairwise
+        mean-field reduction collapses to per-stamp sufficient statistics
+        (losses/kinetic_mckean_vlasov._quadratic_meanfield_stats) — O(n)
+        instead of O(n^2), identical loss values (tested)."""
+        from pde_inverse_tpu.models.parametric import QuadraticFormModel
+
+        return (
+            self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov"
+            and self.cfg.solver.train.kmv_closed_form
+            and isinstance(getattr(self, "_model", None), QuadraticFormModel)
+        )
+
     def value_and_grad_fn(self, forward_fn, params, rng, dataset=None):
         rng_sample, rng_vg = jax.random.split(rng)
         data = self.sample_data(rng_sample, dataset=dataset)
+        kwargs = {}
+        if self._kmv_closed_form():
+            kwargs["closed_form_quadratic"] = True
         return self._loss_module().value_and_grad_fn(
             forward_fn=forward_fn,
             params=params,
@@ -82,6 +99,7 @@ class ConsistencyBased(Method):
             rng=rng_vg,
             pde_instance=self.pde_instance,
             mesh_spec=self.mesh_spec,
+            **kwargs,
         )
 
     def test_fn(self, forward_fn, params, rng):

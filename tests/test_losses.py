@@ -229,6 +229,60 @@ class TestKMVLoss:
         loss_fn = kmv_loss.make_loss_fn(net.apply, data, inst)
         np.testing.assert_allclose(loss_fn(params)[1], 0.0, atol=1e-8)
 
+    def test_closed_form_quadratic_matches_pairwise(self, rng):
+        """The O(n) sufficient-statistics fast path for exactly-quadratic
+        kernels must reproduce the O(n^2) pairwise loss, gap, and params
+        gradient."""
+        inst, net, params, data = self._setup(rng, n=20, n_time=3)
+        # a generic (non-symmetric kernel + bias) quadratic model state
+        params = {
+            "params": {
+                "F": {
+                    "kernel": jax.random.normal(rng, (2, 2)),
+                    "bias": jax.random.normal(jax.random.fold_in(rng, 1), (2,)),
+                }
+            }
+        }
+        out_pair = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst, closed_form_quadratic=False
+        )
+        out_cf = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst, closed_form_quadratic=True
+        )
+        np.testing.assert_allclose(out_cf["loss"], out_pair["loss"], rtol=2e-5)
+        np.testing.assert_allclose(
+            out_cf["loss ground truth"], out_pair["loss ground truth"], rtol=2e-5,
+            atol=1e-7,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_cf["grad"]),
+            jax.tree_util.tree_leaves(out_pair["grad"]),
+        ):
+            np.testing.assert_allclose(a, b, rtol=3e-4, atol=1e-6)
+
+    def test_method_dispatches_closed_form(self, rng):
+        """ConsistencyBased enables the fast path exactly for the
+        parametric QuadraticFormModel (and the config can disable it)."""
+        from pde_inverse_tpu.methods import ConsistencyBased
+
+        cfg = _cfg("Kinetic-McKean-Vlasov", 2)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        assert method._kmv_closed_form()
+
+        from pde_inverse_tpu.config import apply_overrides
+
+        cfg_off = apply_overrides(cfg, ["solver.train.kmv_closed_form=False"])
+        method_off = ConsistencyBased(pde_instance=inst, cfg=cfg_off, rng=rng)
+        method_off.create_model_fn()
+        assert not method_off._kmv_closed_form()
+
+        cfg_np = apply_overrides(cfg, ["estimation_mode=non-parametric"])
+        method_np = ConsistencyBased(pde_instance=inst, cfg=cfg_np, rng=rng)
+        method_np.create_model_fn()
+        assert not method_np._kmv_closed_form()
+
 
 class TestSampleDataPolicy:
     def test_online_exact_grid(self, rng):
