@@ -26,11 +26,28 @@ from pde_inverse_tpu.training.optimizers import get_optimizer
 from pde_inverse_tpu.training.trainer import Trainer
 
 
+def print_help() -> None:
+    import dataclasses
+
+    print(__doc__)
+    print("presets (preset=<name>):")
+    for name in sorted(config_lib.PRESETS):
+        print(f"  {name}")
+    print("\nconfig groups (override with dotted keys, e.g. "
+          "train.optimizer.learning_rate.initial=1e-2):")
+    for f in dataclasses.fields(Config):
+        print(f"  {f.name}")
+    print("\nfull schema: pde_inverse_tpu/config.py")
+
+
 def parse_args(argv) -> Config:
     overrides = []
     cfg = None
     preset_name = None
     for arg in argv:
+        if arg in ("-h", "--help", "help"):
+            print_help()
+            raise SystemExit(0)
         key, _, value = arg.partition("=")
         if key == "config":
             cfg = config_lib.load_yaml(value)
