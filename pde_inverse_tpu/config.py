@@ -105,6 +105,10 @@ class NetworkConfig:
     # GMM potential (scripts/diag_capacity.py); Fourier features fix it.
     fourier_features: int = 0
     fourier_scale: float = 1.0
+    # Learnable PSD-quadratic + linear skip term on the potential MLP —
+    # restores the confining-potential extrapolation class in the
+    # low-density tails the weak-form loss barely constrains.
+    quadratic_head: bool = False
     # Compute dtype for the MLP hidden path ("float32" | "bfloat16").
     dtype: str = "float32"
 

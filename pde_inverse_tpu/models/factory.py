@@ -34,5 +34,6 @@ def get_model(cfg: Config, pde_instance=None):
             dtype=dtype,
             fourier_features=net.fourier_features,
             fourier_scale=net.fourier_scale,
+            quadratic_head=net.quadratic_head,
         )
     raise ValueError(f"unknown estimation_mode {cfg.estimation_mode!r}")

@@ -49,6 +49,13 @@ class PotentialMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fourier_features: int = 0
     fourier_scale: float = 1.0
+    # Learnable PSD-quadratic + linear skip term: V += 1/2 ||A x||^2 + b.x.
+    # Bounded features make the sum-of-squares head's gradient vanish far
+    # from the data, but confining potentials (the FP problem class —
+    # e.g. the GMM potential's far field is exactly quadratic) grow
+    # quadratically; the skip term restores the right extrapolation class
+    # in low-density regions the weak-form loss barely constrains.
+    quadratic_head: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +86,14 @@ class PotentialMLP(nn.Module):
         )(h)
         h = h.astype(jnp.float32)
         value = jnp.sum(h * h, axis=-1)
+        if self.quadratic_head:
+            d = x.shape[-1]
+            A = self.param(
+                "quad_A", nn.initializers.normal(stddev=0.1), (d, d), jnp.float32
+            )
+            b = self.param("quad_b", nn.initializers.zeros, (d,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            value = value + 0.5 * jnp.sum((xf @ A.T) ** 2, axis=-1) + xf @ b
         return value[None] if x.ndim == 1 else value
 
 

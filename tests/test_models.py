@@ -48,6 +48,22 @@ class TestPotentialMLP:
         B = np.asarray(params["params"]["fourier_B"])
         assert 0.3 < B.std() < 1.2
 
+    def test_quadratic_head_far_field(self):
+        """With the quadratic skip term the gradient grows linearly far
+        from the origin instead of saturating to zero (the bounded-feature
+        head alone vanishes there)."""
+        net_plain = PotentialMLP(hidden_dims=(8,), feature_dim=8)
+        net_quad = PotentialMLP(hidden_dims=(8,), feature_dim=8, quadratic_head=True)
+        x_far = 50.0 * jnp.ones((4, 3))
+        for net, expect_flat in [(net_plain, True), (net_quad, False)]:
+            params = net.init(jax.random.PRNGKey(1), x_far[0])
+            g = jax.vmap(jax.grad(lambda xi: net.apply(params, xi)[0]))(x_far)
+            gnorm = float(jnp.linalg.norm(g[0]))
+            if expect_flat:
+                assert gnorm < 1.0, gnorm  # tanh features saturate
+            else:
+                assert gnorm > 1.0, gnorm  # quadratic term keeps growing
+
     def test_bfloat16_hidden_path(self):
         net = PotentialMLP(hidden_dims=(8, 8), feature_dim=16, dtype=jnp.bfloat16)
         params, v, _ = self._apply(net)
