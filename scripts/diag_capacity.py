@@ -52,6 +52,20 @@ ARCHS = {
     "fourier64-s2(64x2,f256)": PotentialMLP(
         hidden_dims=(64, 64), feature_dim=256, fourier_features=64, fourier_scale=2.0
     ),
+    "fourier64-s1+quadhead": PotentialMLP(
+        hidden_dims=(64, 64),
+        feature_dim=256,
+        fourier_features=64,
+        fourier_scale=1.0,
+        quadratic_head=True,
+    ),
+    "fourier64-s1+quadhead-wide": PotentialMLP(
+        hidden_dims=(128, 128),
+        feature_dim=256,
+        fourier_features=64,
+        fourier_scale=1.0,
+        quadratic_head=True,
+    ),
 }
 
 N_STEPS = 20_000
