@@ -79,6 +79,12 @@ class SolverTrainConfig:
     # O(n^2) pairwise grid.  Identical loss values (tested); disable to
     # force the generic pairwise reduction.
     kmv_closed_form: bool = True
+    # Element budget for one flattened [chunk * n * nt, d] pass of the
+    # generic pairwise KMV reduction: bounds peak live memory through the
+    # autodiff tape regardless of batch geometry. Large geometries on the
+    # axon v5e backend need smaller chunks (a 10x10000 batch kernel-faults
+    # at the 4M default; 1M survives).
+    kmv_element_budget: int = 4_000_000
 
 
 @dataclass(frozen=True)

@@ -238,6 +238,7 @@ def make_loss_fn(
     ref_chunk: int = REF_CHUNK,
     mesh_spec=None,
     closed_form_quadratic: bool = False,
+    element_budget: int = _CHUNK_ELEMENT_BUDGET,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -268,7 +269,7 @@ def make_loss_fn(
 
     # auto-scale the ref chunk so chunk * n * nt stays within budget
     per_ref = max(1, x.shape[0] * n_time)
-    ref_chunk = max(1, min(ref_chunk, _CHUNK_ELEMENT_BUDGET // per_ref))
+    ref_chunk = max(1, min(ref_chunk, element_budget // per_ref))
 
     Phi_true = pde_instance.Phi_true_fn
     if closed_form_quadratic:
@@ -330,6 +331,7 @@ def value_and_grad_fn(
     pde_instance,
     mesh_spec=None,
     closed_form_quadratic: bool = False,
+    element_budget: int = _CHUNK_ELEMENT_BUDGET,
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -337,6 +339,7 @@ def value_and_grad_fn(
         pde_instance,
         mesh_spec=mesh_spec,
         closed_form_quadratic=closed_form_quadratic,
+        element_budget=element_budget,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

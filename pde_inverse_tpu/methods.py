@@ -90,8 +90,10 @@ class ConsistencyBased(Method):
         rng_sample, rng_vg = jax.random.split(rng)
         data = self.sample_data(rng_sample, dataset=dataset)
         kwargs = {}
-        if self._kmv_closed_form():
-            kwargs["closed_form_quadratic"] = True
+        if self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov":
+            if self._kmv_closed_form():
+                kwargs["closed_form_quadratic"] = True
+            kwargs["element_budget"] = self.cfg.solver.train.kmv_element_budget
         return self._loss_module().value_and_grad_fn(
             forward_fn=forward_fn,
             params=params,

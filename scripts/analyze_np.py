@@ -53,8 +53,11 @@ def main(ckpt_dir: str, overrides):
 
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     step = mgr.latest_step()
-    restored = mgr.restore(step, args=ocp.args.StandardRestore({"params": params}))
-    params = restored["params"]
+    # Template-free restore: the trainer checkpoints {params, opt_state,
+    # ema_state}; we only need params (already EMA'd past the switch step),
+    # and a strict template would have to mirror the optimizer pytree.
+    restored = mgr.restore(step)
+    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
     print(f"restored step {step} from {ckpt_dir}")
 
     V = lambda x: net.apply(params, x)[0]

@@ -219,6 +219,10 @@ class TestKMVLoss:
         a, b, c = l_full(params)[0], l_c3(params)[0], l_c4(params)[0]
         np.testing.assert_allclose(a, b, rtol=1e-5)
         np.testing.assert_allclose(a, c, rtol=1e-5)
+        # element_budget clamps the chunk the same way an explicit
+        # ref_chunk does — values must be identical for any budget
+        l_b = kmv_loss.make_loss_fn(net.apply, data, inst, element_budget=16)
+        np.testing.assert_allclose(a, l_b(params)[0], rtol=1e-5)
 
     def test_gap_zero_at_truth(self, rng):
         inst, net, params, data = self._setup(rng)
