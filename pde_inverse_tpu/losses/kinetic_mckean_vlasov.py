@@ -272,11 +272,16 @@ def make_loss_fn(
     ref_chunk = max(1, min(ref_chunk, element_budget // per_ref))
 
     Phi_true = pde_instance.Phi_true_fn
-    if closed_form_quadratic:
-        # Phi_true is quadratic for every KMV instance in the suite; the
-        # model side is gated by the caller (parametric QuadraticFormModel).
-        # Phi_true_fn is written with "...i,ij,...j" einsums, so it accepts
-        # an unbatched [d] point directly.
+    if closed_form_quadratic or getattr(
+        pde_instance, "phi_true_is_quadratic", False
+    ):
+        # The TRUE side goes through the exact per-stamp sufficient
+        # statistics whenever the instance declares Phi_true quadratic —
+        # even when the MODEL side runs the generic pairwise reduction
+        # (non-parametric Phi), this halves the O(n^2) work per step.
+        # The model side is gated by the caller (parametric
+        # QuadraticFormModel only). Phi_true_fn is written with
+        # "...i,ij,...j" einsums, so it accepts an unbatched [d] point.
         true_stats = _quadratic_meanfield_stats(Phi_true, x, v)
         mean_nabla_true = true_stats["nabla"]
     else:

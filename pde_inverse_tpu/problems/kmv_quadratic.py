@@ -23,6 +23,12 @@ from pde_inverse_tpu.problems.kfp_ou import KineticFokkerPlanckOU
 
 
 class KineticMcKeanVlasovQuadratic(KineticFokkerPlanckOU):
+    # Phi_true is exactly quadratic, so the KMV loss computes the
+    # ground-truth mean-field statistics from per-stamp sufficient
+    # statistics (O(n), exact) even when the MODEL side runs the generic
+    # pairwise reduction — halves the pairwise cost per step.
+    phi_true_is_quadratic = True
+
     def Phi_true_fn(self, x: jnp.ndarray) -> jnp.ndarray:
         """True interaction kernel Phi(x) = 1/2 x^T F~ x at x [..., d]."""
         return 0.5 * jnp.einsum("...i,ij,...j->...", x, self.tilde_F, x)
