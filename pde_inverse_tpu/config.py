@@ -144,6 +144,14 @@ class OptimizerConfig:
     # Step at which the EMA engages with a state reset.  The reference
     # hardcodes 40000 (core/trainer.py:88-100).
     ema_switch_step: int = 40_000
+    # "switch" reproduces the reference semantics: past the switch step the
+    # live params are REPLACED by their EMA each step (core/trainer.py:
+    # 88-103).  That multiplies the effective post-switch learning rate by
+    # (1 - ema_decay) -- training essentially freezes at the switch.
+    # "track" is decoupled Polyak averaging: params keep full optimizer
+    # dynamics; a separate EMA of the iterates is what gets tested,
+    # checkpointed as `params`, and returned.
+    ema_mode: str = "switch"  # switch | track
     learning_rate: LearningRateConfig = field(default_factory=LearningRateConfig)
 
 

@@ -85,6 +85,7 @@ class Trainer:
         use_ema = ocfg.use_ema
         ema = optax.ema(ocfg.ema_decay)
         switch = ocfg.ema_switch_step
+        track = ocfg.ema_mode == "track"
 
         def one_step_with_dataset(carry, rng, dataset):
             params, opt_state, ema_state, step_idx = carry
@@ -97,7 +98,12 @@ class Trainer:
 
             if use_ema:
                 # Reset the EMA state to the current params at the switch
-                # step, then track: params <- ema(params).
+                # step, then either replace the live params by their EMA
+                # each step (reference semantics, core/trainer.py:88-103 --
+                # NOTE this multiplies the post-switch effective lr by
+                # (1 - decay), near-freezing training) or, in "track" mode,
+                # keep full optimizer dynamics and maintain the EMA as a
+                # decoupled Polyak average of the iterates.
                 def engage(args):
                     p, es = args
                     es = jax.lax.cond(
@@ -109,7 +115,7 @@ class Trainer:
                         es,
                     )
                     _, es = ema.update(p, es)
-                    return es.ema, es
+                    return (p if track else es.ema), es
 
                 def passthrough(args):
                     return args
@@ -159,6 +165,15 @@ class Trainer:
         test_jit = jax.jit(
             lambda p, r: self.method.test_fn(self.forward_fn, p, r)
         )
+        ocfg = cfg.train.optimizer
+
+        def eval_params(carry, at_step):
+            """Params to test / plot / return: the tracked Polyak average
+            once engaged (ema_mode=track), the live params otherwise (in
+            "switch" mode the live params ARE the EMA past the switch)."""
+            if ocfg.use_ema and ocfg.ema_mode == "track" and at_step > ocfg.ema_switch_step:
+                return carry[2].ema
+            return carry[0]
 
         mgr = self._checkpoint_manager()
         start_step = 0
@@ -228,7 +243,9 @@ class Trainer:
             # core/trainer.py:114-116).
             prev_step = step - this_k
             if cadence_fires(prev_step, step, cfg.test.frequency) or step >= n_iters:
-                test_metrics = test_jit(carry[0], jax.random.fold_in(self.rng, step))
+                test_metrics = test_jit(
+                    eval_params(carry, step), jax.random.fold_in(self.rng, step)
+                )
                 test_metrics = {
                     key: float(v) for key, v in jax.tree_util.tree_map(
                         np.asarray, test_metrics
@@ -256,7 +273,7 @@ class Trainer:
                 try:
                     self.method.plot_fn(
                         self.forward_fn,
-                        jax.device_get(carry[0]),
+                        jax.device_get(eval_params(carry, step)),
                         jax.random.fold_in(self.rng, step + 1),
                         out_path=os.path.join(self.plot_dir, f"field_{step:06d}.png"),
                     )
@@ -286,5 +303,5 @@ class Trainer:
 
         if mgr is not None:
             mgr.wait_until_finished()
-        self.params = carry[0]
+        self.params = eval_params(carry, step)
         return self.params

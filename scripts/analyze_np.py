@@ -30,6 +30,8 @@ from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
 def main(ckpt_dir: str, overrides):
     enable_compilation_cache()
+    use_ema_state = "--ema" in overrides
+    overrides = [o for o in overrides if o != "--ema"]
     cfg = preset(
         "KGMM",
         [
@@ -57,8 +59,11 @@ def main(ckpt_dir: str, overrides):
     # ema_state}; we only need params (already EMA'd past the switch step),
     # and a strict template would have to mirror the optimizer pytree.
     restored = mgr.restore(step)
-    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
-    print(f"restored step {step} from {ckpt_dir}")
+    # --ema: evaluate the decoupled Polyak average saved in ema_state
+    # (trainer ema_mode=track) instead of the live params.
+    source = restored["ema_state"]["ema"] if use_ema_state else restored["params"]
+    params = jax.tree_util.tree_map(jnp.asarray, source)
+    print(f"restored step {step} from {ckpt_dir} (ema={use_ema_state})")
 
     V = lambda x: net.apply(params, x)[0]
     V_true = inst.V_true_fn

@@ -127,6 +127,60 @@ class TestTrainer:
             float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
         )
 
+    def test_ema_track_mode(self, rng, tmp_path):
+        """Decoupled Polyak averaging (ema_mode=track): the optimization
+        trajectory is bitwise-identical to a no-EMA run (the average never
+        feeds back into the dynamics, unlike the reference's params<-ema
+        replacement, core/trainer.py:88-103), while the RETURNED params are
+        the tracked average, not the live iterate."""
+        base = dict(n_iters=40, chunk=10)
+        ckpt = str(tmp_path / "track_ckpt")
+        cfg_track = _cfg(
+            **base,
+            extra=[
+                "train.optimizer.use_ema=True",
+                "train.optimizer.ema_mode=track",
+                "train.optimizer.ema_switch_step=20",
+                "save_and_load.save_model=True",
+                f"save_and_load.model_directory={ckpt}",
+                "save_and_load.save_frequency=40",
+            ],
+        )
+        _, trainer_track = _build(cfg_track, rng)
+        avg_params = jax.device_get(trainer_track.fit())
+
+        cfg_plain = _cfg(**base)
+        _, trainer_plain = _build(cfg_plain, rng)
+        raw_params = jax.device_get(trainer_plain.fit())
+
+        # live iterates unaffected by the tracked average: the checkpointed
+        # `params` of the track run equal the no-EMA run's final params
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(ckpt))
+        restored = mgr.restore(mgr.latest_step())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored["params"]),
+            jax.tree_util.tree_leaves(raw_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # returned params are the average, distinct from the live iterate
+        same = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(avg_params),
+                jax.tree_util.tree_leaves(raw_params),
+            )
+        )
+        assert not same
+        # and they equal the checkpointed ema_state average
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored["ema_state"]["ema"]),
+            jax.tree_util.tree_leaves(avg_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_save_and_resume(self, rng, tmp_path):
         ckpt_dir = str(tmp_path / "ckpt")
         cfg = _cfg(
