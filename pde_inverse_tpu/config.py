@@ -48,6 +48,12 @@ class PDEInstanceConfig:
     # (Leimkuhler-Matthews splitting, O(dt^2) weak error, same cost —
     # lowers the discretization-bias floor of SDE-sampled instances)
     integrator: str = "euler"
+    # Antithetic Brownian pairing for the ONLINE SDE batches: each drawn
+    # initial state is simulated twice with mirrored noise increments
+    # (ops/simulate.py), halving the number of independent draws per batch
+    # while anticorrelating the pair — a variance-reduction lever for the
+    # weak-form estimator at unchanged batch size and simulation cost.
+    antithetic: bool = False
     n_steps: int = 100
     sample_initial_size: int = 500_000
     sample_terminal_size: int = 200_000

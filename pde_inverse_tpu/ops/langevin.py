@@ -88,8 +88,14 @@ def simulate_kinetic_langevin(
     return_trajectory: bool = True,
     random_phase: bool = True,
     integrator: str = "euler",
+    noise_sign: float = 1.0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Simulate the kinetic Langevin SDE from z0 = [q0 | p0], [n, 2d].
+
+    noise_sign flips every Brownian increment (the phase draw is
+    unaffected): two calls with the SAME key and signs +1/-1 yield an
+    antithetic trajectory pair — each marginally exact, jointly
+    anticorrelated (variance reduction for smooth path functionals).
 
     Returns (final_state [n, 2d], trajectory [n, n_steps, 2d] or None,
     taus [n, n_steps] or None).  trajectory[i, k] is the state of particle i
@@ -114,7 +120,7 @@ def simulate_kinetic_langevin(
     step_keys = jax.random.split(key_steps, n_steps + 1)
 
     def noise(k):
-        return jax.random.normal(k, (n, d), dtype=z0.dtype)
+        return noise_sign * jax.random.normal(k, (n, d), dtype=z0.dtype)
 
     if integrator == "euler":
         step = lambda q, p, g, xi, sdt: (

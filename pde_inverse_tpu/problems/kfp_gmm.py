@@ -209,11 +209,18 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         n_steps = self.cfg.pde_instance.n_steps
         # static python float: dt is baked into the (pallas) simulator
         dt = self.cfg.pde_instance.total_evolving_time / n_steps
+        antithetic = self.cfg.pde_instance.antithetic
+        if antithetic and batch_size % 2:
+            raise ValueError("pde_instance.antithetic needs an even batch size")
+        n_draw = batch_size // 2 if antithetic else batch_size
 
-        z0 = self.distribution_initial.sample(batch_size, rng_i0)
+        m0 = self.distribution_initial.mean
+        z0 = self.distribution_initial.sample(n_draw, rng_i0)
         _, traj, _ = simulate(
             rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction,
             integrator=self.cfg.pde_instance.integrator,
+            antithetic=antithetic,
+            z0_mirror=(2.0 * m0 - z0) if antithetic else None,
         )
         stride = self.cfg.solver.train.path_stride
         if stride > 1:
@@ -223,12 +230,21 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             traj = traj[:, ::stride]
         sample_0T = traj.reshape(-1, 2 * self.dim)
 
-        sample_initial = self.distribution_initial.sample(
-            batch_size * self.multiple_init, rng_i1
-        )
+        if antithetic:
+            # exact-Gaussian antithetic pair: z and its reflection 2m - z
+            half_init = self.distribution_initial.sample(
+                n_draw * self.multiple_init, rng_i1
+            )
+            sample_initial = jnp.concatenate(
+                [half_init, 2.0 * self.distribution_initial.mean - half_init]
+            )
+        else:
+            sample_initial = self.distribution_initial.sample(
+                batch_size * self.multiple_init, rng_i1
+            )
 
         z0_term = self.distribution_initial.sample(
-            batch_size * self.multiple_terminal, rng_i2
+            n_draw * self.multiple_terminal, rng_i2
         )
         sample_terminal, _, _ = simulate(
             rng_term_sim,
@@ -239,6 +255,8 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.gamma_friction,
             return_trajectory=False,
             integrator=self.cfg.pde_instance.integrator,
+            antithetic=antithetic,
+            z0_mirror=(2.0 * m0 - z0_term) if antithetic else None,
         )
         return sample_initial, sample_terminal, sample_0T
 

@@ -132,3 +132,119 @@ class TestLangevin:
         np.testing.assert_allclose(final_k, final_s, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(traj_k, traj_s, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(taus_k, taus_s, atol=1e-6)
+
+
+class TestAntithetic:
+    """Antithetic Brownian pairing (ops/simulate.py antithetic=True)."""
+
+    def test_plus_half_is_plain_run(self, rng):
+        """The +1 half of an antithetic pair must be bit-identical to a
+        plain simulate call with the same key (the pairing must not change
+        the marginal path law)."""
+        from pde_inverse_tpu.ops.simulate import simulate
+
+        d, n, n_steps, dt = 2, 32, 8, 0.05
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jax.random.normal(rng, (n, 2 * d))
+        f_pair, t_pair, tau_pair = simulate(
+            rng, z0, n_steps, dt, pot, 1.0, antithetic=True, use_pallas=False
+        )
+        f, t, tau = simulate(
+            rng, z0, n_steps, dt, pot, 1.0, antithetic=False, use_pallas=False
+        )
+        assert f_pair.shape == (2 * n, 2 * d)
+        np.testing.assert_array_equal(np.asarray(f_pair[:n]), np.asarray(f))
+        np.testing.assert_array_equal(np.asarray(t_pair[:n]), np.asarray(t))
+        # the mirrored half shares the phase draw => identical stamps
+        np.testing.assert_array_equal(np.asarray(tau_pair[n:]), np.asarray(tau))
+
+    def test_pair_mean_cancels_noise_exactly_when_force_free(self, rng):
+        """Zero force, zero friction, Euler: states are linear in the
+        Brownian increments, so the antithetic pair mean equals the
+        noiseless drift trajectory q0 + t p0, p0 EXACTLY."""
+        from pde_inverse_tpu.ops.simulate import simulate
+        from pde_inverse_tpu.potentials import VoidPotential
+
+        d, n, n_steps, dt = 2, 16, 12, 0.1
+        z0 = jax.random.normal(rng, (n, 2 * d))
+        final, traj, taus = simulate(
+            jax.random.fold_in(rng, 1), z0, n_steps, dt, VoidPotential(),
+            gamma=0.0, antithetic=True, use_pallas=False,
+        )
+        q0, p0 = z0[:, :d], z0[:, d:]
+        # pair mean of the trajectory: [n, n_steps, 2d]
+        mean_traj = 0.5 * (traj[:n] + traj[n:])
+        t = taus[:n][..., None]
+        np.testing.assert_allclose(
+            np.asarray(mean_traj[..., :d]), np.asarray(q0[:, None] + t * p0[:, None]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mean_traj[..., d:]),
+            np.broadcast_to(np.asarray(p0[:, None]), (n, n_steps, d)),
+            rtol=1e-5, atol=1e-5,
+        )
+        mean_final = 0.5 * (final[:n] + final[n:])
+        T = n_steps * dt
+        np.testing.assert_allclose(
+            np.asarray(mean_final[:, :d]), np.asarray(q0 + T * p0), rtol=1e-5, atol=1e-5
+        )
+
+    def test_variance_reduction_ou_mean(self, rng):
+        """For the quadratic (OU) potential the antithetic estimator of
+        E[q_T] (initial states mirrored around the zero mean, Brownian
+        increments negated) has materially lower variance than iid
+        sampling at the same total particle count."""
+        from pde_inverse_tpu.ops.simulate import simulate
+
+        d, n_pairs, n_steps, dt = 1, 64, 25, 0.04
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        reps = 48
+
+        def estimate(key, antithetic):
+            kz, ks = jax.random.split(key)
+            n0 = n_pairs if antithetic else 2 * n_pairs
+            z0 = jax.random.normal(kz, (n0, 2 * d))
+            final, _, _ = simulate(
+                ks, z0, n_steps, dt, pot, 1.0,
+                return_trajectory=False, antithetic=antithetic, use_pallas=False,
+                z0_mirror=-z0 if antithetic else None,
+            )
+            return jnp.mean(final[:, 0])
+
+        keys = jax.random.split(rng, reps)
+        est_anti = np.asarray(jax.vmap(lambda k: estimate(k, True))(keys))
+        est_iid = np.asarray(jax.vmap(lambda k: estimate(k, False))(keys))
+        assert est_anti.var() < 0.5 * est_iid.var(), (est_anti.var(), est_iid.var())
+
+    def test_gmm_problem_antithetic_batches(self, rng):
+        """Online SDE sampling with pde_instance.antithetic=True: shapes
+        match the plain policy and the exact initial draws mirror around
+        the initial mean."""
+        from pde_inverse_tpu.config import Config, apply_overrides
+        from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.potential=GMM",
+                "pde_instance.domain_dim=2",
+                "pde_instance.sample_mode=online",
+                "pde_instance.n_steps=10",
+                "pde_instance.antithetic=True",
+            ],
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        batch = 8
+        init, term, path = jax.jit(
+            lambda k: inst.sample_ground_truth(k, batch)
+        )(jax.random.fold_in(rng, 3))
+        assert init.shape == (batch * inst.multiple_init, 2 * inst.dim)
+        assert term.shape == (batch * inst.multiple_terminal, 2 * inst.dim)
+        assert path.shape[0] == batch * 10
+        h = init.shape[0] // 2
+        m = np.asarray(inst.distribution_initial.mean)
+        np.testing.assert_allclose(
+            np.asarray(init[h:]), 2.0 * m - np.asarray(init[:h]), rtol=1e-6, atol=1e-6
+        )
