@@ -212,8 +212,11 @@ def main():
     cfg, inst, method, net, params, opt = _build()
     ours, flops_per_step = bench_ours(method, net, params, opt)
     ref = bench_reference_semantics(inst, net, params, opt)
+    # float(f"{..:.3g}"): the KOU parametric step is a tiny-matmul,
+    # dispatch/bandwidth-bound program, so its MFU is legitimately ~1e-5;
+    # fixed 4-decimal rounding displayed it as a meaningless 0.0.
     mfu = (
-        round(flops_per_step * ours / _PEAK_FLOPS_V5E_BF16, 4)
+        float(f"{flops_per_step * ours / _PEAK_FLOPS_V5E_BF16:.3g}")
         if flops_per_step
         else None
     )

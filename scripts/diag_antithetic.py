@@ -1,0 +1,98 @@
+"""Does antithetic Brownian pairing (pde_instance.antithetic) reduce the
+variance of the non-parametric KGMM loss GRADIENT?
+
+The pairing provably anticorrelates odd path functionals, but the weak-form
+loss mixes odd and even terms, so the net effect on the gradient estimator
+is an empirical question.  This script evaluates grad(loss) at a fixed
+(freshly initialized, then briefly trained) parameter point across K
+independent sampling keys, with and without antithetic batches at the SAME
+batch size, and reports the total gradient variance (sum over coordinates)
+plus the implied equivalent-batch factor.
+
+Usage: PYTHONPATH="" JAX_PLATFORMS=cpu python scripts/diag_antithetic.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_inverse_tpu.config import Config, apply_overrides
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+
+def grad_variance(cfg, rng, n_keys=32, warm_steps=20):
+    inst = KineticFokkerPlanckGMM(cfg, rng)
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+    net, params = method.create_model_fn()
+
+    vg = jax.jit(
+        lambda p, k: method.value_and_grad_fn(net.apply, p, k)
+    )
+
+    # brief warmup so the measurement point is not the raw init
+    import optax
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    k = jax.random.fold_in(rng, 999)
+    for i in range(warm_steps):
+        out = vg(params, jax.random.fold_in(k, i))
+        upd, state = opt.update(out["grad"], state, params)
+        params = optax.apply_updates(params, upd)
+
+    grads = []
+    for i in range(n_keys):
+        out = vg(params, jax.random.fold_in(rng, 10_000 + i))
+        flat, _ = jax.flatten_util.ravel_pytree(out["grad"])
+        grads.append(np.asarray(flat))
+    g = np.stack(grads)
+    return g.var(axis=0).sum(), np.linalg.norm(g.mean(axis=0))
+
+
+def main():
+    base = [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=online",
+        "pde_instance.n_steps=50",
+        "pde_instance.integrator=baoab",
+        "solver.train.batch_size_0T=512",
+        "solver.train.path_stride=2",
+        "neural_network.hidden_dim=64",
+        "neural_network.layers=2",
+        "neural_network.feature_dim=256",
+        "neural_network.fourier_features=64",
+        "neural_network.quadratic_head=True",
+        "estimation_mode=non-parametric",
+        "seed=2",
+    ]
+    rng = jax.random.PRNGKey(7)
+    for anti in (False, True):
+        cfg = apply_overrides(
+            Config(), base + [f"pde_instance.antithetic={anti}"]
+        )
+        var, gnorm = grad_variance(cfg, rng)
+        print(
+            f"antithetic={anti!s:5}  total grad variance: {var:.6e}"
+            f"  mean-grad norm: {gnorm:.4e}"
+        )
+
+
+if __name__ == "__main__":
+    main()
+
+# Measured (round 2, CPU, batch 512, 32 keys, 20 warm steps):
+#   antithetic=False  total grad variance 1.554e4, mean-grad norm 1.59e2
+#   antithetic=True   total grad variance 1.541e4, mean-grad norm 1.66e2
+# => no material reduction for the weak-form KGMM gradient: the GMM wells
+# make path functionals strongly nonlinear (anticorrelation decays along
+# the trajectory) and the loss mixes even terms (positively correlated
+# under mirroring). Antithetic stays available but is NOT part of the
+# flagship non-parametric recipe.
