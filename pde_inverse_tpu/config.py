@@ -155,8 +155,10 @@ class OptimizerConfig:
     # 88-103).  That multiplies the effective post-switch learning rate by
     # (1 - ema_decay) -- training essentially freezes at the switch.
     # "track" is decoupled Polyak averaging: params keep full optimizer
-    # dynamics; a separate EMA of the iterates is what gets tested,
-    # checkpointed as `params`, and returned.
+    # dynamics; a separate EMA of the iterates is what gets tested and
+    # returned by fit().  Checkpoints keep the live iterate under `params`
+    # and the average inside `ema_state` (scripts/analyze_np.py --ema
+    # evaluates the latter).
     ema_mode: str = "switch"  # switch | track
     learning_rate: LearningRateConfig = field(default_factory=LearningRateConfig)
 

@@ -60,6 +60,13 @@ def simulate(
     the estimator variance is left on the table."""
     if use_pallas is None:
         use_pallas = _on_tpu() and pallas_supported_potential(potential)
+    if z0_mirror is not None:
+        if not antithetic:
+            raise ValueError("z0_mirror is only meaningful with antithetic=True")
+        if z0_mirror.shape != z0.shape:
+            raise ValueError(
+                f"z0_mirror shape {z0_mirror.shape} != z0 shape {z0.shape}"
+            )
     signs = (1.0, -1.0) if antithetic else (1.0,)
     starts = (z0, z0_mirror if z0_mirror is not None else z0)
     outs = []

@@ -85,6 +85,11 @@ class Trainer:
         use_ema = ocfg.use_ema
         ema = optax.ema(ocfg.ema_decay)
         switch = ocfg.ema_switch_step
+        if ocfg.ema_mode not in ("switch", "track"):
+            raise ValueError(
+                f"train.optimizer.ema_mode must be 'switch' or 'track', "
+                f"got {ocfg.ema_mode!r}"
+            )
         track = ocfg.ema_mode == "track"
 
         def one_step_with_dataset(carry, rng, dataset):

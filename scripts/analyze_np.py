@@ -60,8 +60,18 @@ def main(ckpt_dir: str, overrides):
     # and a strict template would have to mirror the optimizer pytree.
     restored = mgr.restore(step)
     # --ema: evaluate the decoupled Polyak average saved in ema_state
-    # (trainer ema_mode=track) instead of the live params.
-    source = restored["ema_state"]["ema"] if use_ema_state else restored["params"]
+    # (trainer ema_mode=track) instead of the live params.  Before the
+    # switch step the EMA state is still its all-zeros init — evaluating
+    # it would silently score a zero network.
+    if use_ema_state:
+        if int(restored["ema_state"]["count"]) == 0:
+            raise SystemExit(
+                "--ema requested but the checkpoint's EMA never engaged "
+                "(count=0): evaluate without --ema or use a later checkpoint"
+            )
+        source = restored["ema_state"]["ema"]
+    else:
+        source = restored["params"]
     params = jax.tree_util.tree_map(jnp.asarray, source)
     print(f"restored step {step} from {ckpt_dir} (ema={use_ema_state})")
 

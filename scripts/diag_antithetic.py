@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.flatten_util import ravel_pytree
 
 from pde_inverse_tpu.config import Config, apply_overrides
 from pde_inverse_tpu.methods import ConsistencyBased
@@ -49,7 +50,7 @@ def grad_variance(cfg, rng, n_keys=32, warm_steps=20):
     grads = []
     for i in range(n_keys):
         out = vg(params, jax.random.fold_in(rng, 10_000 + i))
-        flat, _ = jax.flatten_util.ravel_pytree(out["grad"])
+        flat, _ = ravel_pytree(out["grad"])
         grads.append(np.asarray(flat))
     g = np.stack(grads)
     return g.var(axis=0).sum(), np.linalg.norm(g.mean(axis=0))
