@@ -490,6 +490,40 @@ PRESETS = {
         "seed=2",
         "estimation_mode=non-parametric",
     ],
+    # Offline non-parametric at 10x the reference's trajectory count
+    # (…GMM.py:158-204 regenerates 20k x 400 in memory every run; the
+    # memmap array store streams 200k x 400 = ~5 GB to disk once and
+    # memory-maps it thereafter), attacking the offline dataset-bias
+    # floor with data rather than fresh simulation.  Same estimator
+    # recipe as the online flagship: Fourier MLP + quadratic head,
+    # BAOAB-generated data, grad clip, decoupled Polyak averaging.
+    "KGMM-nonparametric-offline-XL": [
+        "pde_instance.name=Kinetic-Fokker-Planck",
+        "pde_instance.potential=GMM",
+        "pde_instance.domain_dim=4",
+        "pde_instance.sample_mode=offline",
+        "pde_instance.integrator=baoab",
+        "pde_instance.sample_0T_size=200000",
+        "pde_instance.dataset_path=/tmp/kgmm_offline_xl_store",
+        "neural_network.hidden_dim=64",
+        "neural_network.layers=2",
+        "neural_network.feature_dim=256",
+        "neural_network.fourier_features=64",
+        "neural_network.fourier_scale=1.0",
+        "neural_network.quadratic_head=True",
+        "train.number_of_iterations=40000",
+        "train.optimizer.learning_rate.initial=1e-2",
+        "train.optimizer.learning_rate.scheduling=cosine",
+        "train.optimizer.learning_rate.cosine_decay_steps=40000",
+        "train.optimizer.use_ema=True",
+        "train.optimizer.ema_mode=track",
+        "train.optimizer.ema_decay=0.9999",
+        "train.optimizer.ema_switch_step=20000",
+        "train.optimizer.grad_clip_norm=1.0",
+        "pde_instance.total_evolving_time=2",
+        "estimation_mode=non-parametric",
+        "seed=2",
+    ],
 }
 
 
