@@ -35,7 +35,7 @@ BOUNDARY = 2_500
 DIM = 4
 
 
-def _cfg():
+def _cfg(per_time: int = PER_TIME):
     from pde_inverse_tpu.config import Config, apply_overrides
 
     return apply_overrides(
@@ -46,7 +46,7 @@ def _cfg():
             "pde_instance.total_evolving_time=2",
             "solver.train.sample_mode=grid_time",
             f"solver.train.n_time_stamps={N_TIME}",
-            f"solver.train.sample_per_time={PER_TIME}",
+            f"solver.train.sample_per_time={per_time}",
             f"solver.train.batch_size_init={BOUNDARY}",
             f"solver.train.batch_size_terminal={BOUNDARY}",
             "train.optimizer.learning_rate.initial=1e-2",
@@ -55,12 +55,12 @@ def _cfg():
     )
 
 
-def _build():
+def _build(per_time: int = PER_TIME):
     from pde_inverse_tpu.methods import ConsistencyBased
     from pde_inverse_tpu.problems import KineticFokkerPlanckOU
     from pde_inverse_tpu.training.optimizers import get_optimizer
 
-    cfg = _cfg()
+    cfg = _cfg(per_time)
     rng = jax.random.PRNGKey(0)
     inst = KineticFokkerPlanckOU(cfg, rng)
     method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
@@ -238,5 +238,38 @@ def main():
     print(json.dumps(result))
 
 
+def scaling():
+    """Batch-size scaling sweep of the fused step (one JSON line per size,
+    human/diagnostic mode — the driver contract is the bare `python
+    bench.py` single line).  Exposes the compute- vs dispatch-bound
+    transition: below the knee, steps/s is flat (per-chunk dispatch +
+    fixed program overhead dominate); above it, points/s is flat (the chip
+    is saturated)."""
+    from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    jax.config.update("jax_default_prng_impl", "rbg")
+    for per_time in (1_250, 2_500, 5_000, 10_000, 20_000, 40_000):
+        cfg, inst, method, net, params, opt = _build(per_time)
+        steps, _ = bench_ours(method, net, params, opt, n_steps=100, chunk=50)
+        n_points = per_time * N_TIME
+        print(
+            json.dumps(
+                {
+                    "path_points": n_points,
+                    "steps_per_sec": round(steps, 2),
+                    "ms_per_step": round(1e3 / steps, 3),
+                    "points_per_sec": round(steps * n_points / 1e6, 1),
+                    "unit_points_per_sec": "M/s",
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
