@@ -181,6 +181,42 @@ class TestTrainer:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_track_mode_mid_run_resume_is_exact(self, rng, tmp_path):
+        """Wedge-recovery scenario (CLAUDE.md operational lessons): kill a
+        track-mode run mid-averaging and resume from the latest checkpoint
+        — the final Polyak average must be BITWISE equal to the
+        uninterrupted run (same per-step key stream, full carry restored:
+        params + opt_state + ema_state)."""
+        import shutil
+
+        ckpt = str(tmp_path / "wedge_ckpt")
+        extra = [
+            "train.optimizer.use_ema=True",
+            "train.optimizer.ema_mode=track",
+            "train.optimizer.ema_switch_step=10",
+            "save_and_load.save_model=True",
+            f"save_and_load.model_directory={ckpt}",
+            "save_and_load.save_frequency=10",
+        ]
+        cfg = _cfg(n_iters=40, chunk=10, extra=extra)
+        _, trainer_full = _build(cfg, rng)
+        avg_full = jax.device_get(trainer_full.fit())
+
+        # simulate the wedge: drop the post-30 checkpoints, resume
+        for step_dir in ("40",):
+            shutil.rmtree(os.path.join(ckpt, step_dir))
+        cfg_resume = _cfg(
+            n_iters=40, chunk=10, extra=extra + ["save_and_load.load_model=True"]
+        )
+        _, trainer_resumed = _build(cfg_resume, rng)
+        avg_resumed = jax.device_get(trainer_resumed.fit())
+        assert trainer_resumed.resumed_step == 30
+        for a, b in zip(
+            jax.tree_util.tree_leaves(avg_full),
+            jax.tree_util.tree_leaves(avg_resumed),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_save_and_resume(self, rng, tmp_path):
         ckpt_dir = str(tmp_path / "ckpt")
         cfg = _cfg(
