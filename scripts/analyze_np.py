@@ -94,6 +94,18 @@ def main(ckpt_dir: str, overrides):
     num0, den0 = jax.jit(rel)(x0)
     print(f"initial-law rel-L2: {float(jnp.sqrt(jnp.mean(num0) / den0)):.4e}")
 
+    # Scale-vs-distortion split: the best single scalar c for c*grad V_theta.
+    # c far from 1 with a large error drop = coherent field shrinkage
+    # (e.g. weight-decay pull); c ~ 1 with no drop = distributed distortion
+    # (e.g. drift along the weak-form loss's near-null directions).
+    pred0 = ad.batched_grad(V, x0)
+    true0 = ad.batched_grad(V_true, x0)
+    c = float(jnp.sum(pred0 * true0) / jnp.sum(pred0 * pred0))
+    resc = float(
+        jnp.sqrt(jnp.mean(jnp.sum((c * pred0 - true0) ** 2, -1)) / den0)
+    )
+    print(f"best scalar rescale c={c:.4f}; rescaled initial-law rel-L2: {resc:.4e}")
+
     # (b) path law (fresh simulation, 2000 trajectories)
     _, _, path = jax.jit(lambda k: inst.sample_ground_truth(k, 2000))(k_path)
     xp = path[:, : inst.dim]
