@@ -171,6 +171,11 @@ class TrainConfig:
     # reference syncs to host every step (core/trainer.py:112-113); we sync
     # once per chunk.
     steps_per_chunk: int = 100
+    # >= 0: re-key ONLY the training data stream (same problem instance,
+    # independent estimator noise) — runs differing only in data_seed are
+    # ensemble members for gradient-field averaging.  -1 = derive from
+    # the global seed split (reference parity, main.py:43-44).
+    data_seed: int = -1
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 
 

@@ -98,6 +98,14 @@ def run(cfg: Config):
     seeds = dict(
         zip(seed_names, jax.random.split(jax.random.PRNGKey(cfg.seed), len(seed_names)))
     )
+    if cfg.train.data_seed >= 0:
+        # Re-key ONLY the training data stream, keeping the problem
+        # instance (drawn from rng_problem) fixed: runs that differ only
+        # in data_seed see the same ground truth with independent
+        # estimator noise — the ingredient for field ensembling
+        # (same-`seed` runs share sampling keys, and their residual error
+        # fields correlate at ~0.5, scripts/diag notes in CLAUDE.md).
+        seeds["rng_trainer"] = jax.random.PRNGKey(cfg.train.data_seed)
 
     pde_instance = get_pde_instance(cfg)(cfg=cfg, rng=seeds["rng_problem"])
     method = get_method(cfg)(pde_instance=pde_instance, cfg=cfg, rng=seeds["rng_method"])
