@@ -81,8 +81,15 @@ def _program_flops(jitted, *args) -> float:
         return 0.0
 
 
-def bench_ours(method, net, params, opt, n_steps=200, chunk=50):
-    """Fused scan-chunk trainer: (steps/sec, FLOPs per step)."""
+def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
+    """Fused scan-chunk trainer: (steps/sec, FLOPs per step[, per-window
+    rates]).
+
+    windows > 1 repeats the measurement in the same process and reports
+    the MEDIAN rate plus the per-window list: per-dispatch latency on the
+    tunneled chip varies 1-35 ms between sessions (CLAUDE.md), and a
+    single window makes the headline ratio look noisier than the chip is
+    (round-2 VERDICT weak #7)."""
 
     def one_step(carry, rng):
         params, opt_state = carry
@@ -101,15 +108,20 @@ def bench_ours(method, net, params, opt, n_steps=200, chunk=50):
     carry, losses = run_chunk(carry, rngs)  # compile + warmup
     jax.block_until_ready(losses)
 
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_steps:
-        carry, losses = run_chunk(carry, rngs)
-        jax.block_until_ready(losses)
-        assert np.isfinite(np.asarray(losses)).all()
-        done += chunk
-    dt = time.perf_counter() - t0
-    return done / dt, flops_per_step
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_steps:
+            carry, losses = run_chunk(carry, rngs)
+            jax.block_until_ready(losses)
+            assert np.isfinite(np.asarray(losses)).all()
+            done += chunk
+        rates.append(done / (time.perf_counter() - t0))
+    rate = float(np.median(rates))
+    if windows == 1:
+        return rate, flops_per_step
+    return rate, flops_per_step, [round(r, 2) for r in rates]
 
 
 def bench_reference_semantics(inst, net, params, opt, n_steps=10):
@@ -200,6 +212,44 @@ def bench_reference_semantics(inst, net, params, opt, n_steps=10):
 _PEAK_FLOPS_V5E_BF16 = 197e12
 
 
+def bench_np_step(n_steps=60, chunk=20, windows=3):
+    """Compute-bound production row: the online KGMM NON-PARAMETRIC step at
+    the Run-E recipe geometry (400-step BAOAB SDE sampling through the
+    Pallas Langevin kernel + Fourier-MLP weak-form loss on a 10k-trajectory
+    batch).  This is the step that dominates real training wall-clock; the
+    flagship KOU row above is an 18-MFLOP dispatch-bound program whose MFU
+    measures the tunnel, not the chip (round-2 VERDICT missing #3).
+    Returns (median steps/s, per-window list, flops/step, mfu)."""
+    from pde_inverse_tpu.config import preset
+    from pde_inverse_tpu.methods import ConsistencyBased
+    from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+    from pde_inverse_tpu.training.optimizers import get_optimizer
+
+    cfg = preset(
+        "KGMM-nonparametric-online",
+        [
+            "neural_network.quadratic_head=True",
+            "solver.train.batch_size_0T=10000",
+            "pde_instance.n_steps=400",
+            "train.optimizer.weight_decay=0.0",
+        ],
+    )
+    rng = jax.random.PRNGKey(0)
+    inst = KineticFokkerPlanckGMM(cfg, jax.random.split(rng, 4)[0])
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+    net, params = method.create_model_fn()
+    opt = get_optimizer(cfg.train.optimizer)
+    rate, flops_per_step, rates = bench_ours(
+        method, net, params, opt, n_steps=n_steps, chunk=chunk, windows=windows
+    )
+    mfu = (
+        float(f"{flops_per_step * rate / _PEAK_FLOPS_V5E_BF16:.3g}")
+        if flops_per_step
+        else None
+    )
+    return rate, rates, flops_per_step, mfu
+
+
 def main():
     from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
@@ -210,7 +260,9 @@ def main():
     # baseline, whose per-step cost is dominated by odeint + dispatch).
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg, inst, method, net, params, opt = _build()
-    ours, flops_per_step = bench_ours(method, net, params, opt)
+    ours, flops_per_step, windows = bench_ours(
+        method, net, params, opt, windows=3
+    )
     ref = bench_reference_semantics(inst, net, params, opt)
     # float(f"{..:.3g}"): the KOU parametric step is a tiny-matmul,
     # dispatch/bandwidth-bound program, so its MFU is legitimately ~1e-5;
@@ -234,6 +286,29 @@ def main():
         "mfu": mfu,
         "flops_per_step": flops_per_step or None,
         "peak_flops_assumed": _PEAK_FLOPS_V5E_BF16,
+        # per-window rates: tunnel-dispatch variance context for `value`
+        "steps_per_sec_windows": windows,
+    }
+
+    # compute-bound production row: non-parametric KGMM online step
+    np_rate, np_windows, np_flops, np_mfu = bench_np_step()
+    result["np"] = {
+        "metric": "KGMM non-parametric online step (Run-E geometry)",
+        "steps_per_sec": round(np_rate, 3),
+        "steps_per_sec_windows": np_windows,
+        "ms_per_step": round(1e3 / np_rate, 2),
+        "flops_per_step": np_flops or None,
+        "mfu": np_mfu,
+    }
+
+    # saturation probe: the large-batch end of the --scaling sweep (the
+    # knee context for the headline row without the full sweep's runtime)
+    _, _, m_sat, n_sat, p_sat, o_sat = _build(40_000)
+    sat_rate, _ = bench_ours(m_sat, n_sat, p_sat, o_sat, n_steps=50, chunk=25)
+    result["saturation"] = {
+        "path_points": 40_000 * N_TIME,
+        "steps_per_sec": round(sat_rate, 2),
+        "points_per_sec_M": round(sat_rate * 40_000 * N_TIME / 1e6, 1),
     }
     print(json.dumps(result))
 

@@ -78,7 +78,13 @@ def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=Non
     }
 
 
-def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000):
+def test_fn(
+    forward_fn,
+    pde_instance,
+    rng,
+    batch_size: int = 10_000,
+    sde_probe_trajectories: int = 1024,
+):
     """Relative L2 error of grad V at initial/terminal samples, plus — for
     SDE instances without a closed-form terminal law — over fresh PATH
     samples.  The path-law metric matters for non-parametric recovery: the
@@ -109,7 +115,14 @@ def test_fn(forward_fn, pde_instance, rng, batch_size: int = 10_000):
             _split_xv(z)[0]
         )
     elif getattr(pde_instance, "sample_scheme", "") == "SDE":
-        _, term, path = pde_instance.sample_ground_truth(rng_p, 64)
+        # 1024 fresh trajectories (~400k path states at production
+        # n_steps): the former 64-trajectory probe left the path metric's
+        # seed-to-seed std comparable to the 1e-2 threshold it adjudicates
+        # (round-2 VERDICT weak #6); 16x more independent trajectories cuts
+        # it ~4x.  Simulation cost is test-cadence-only and Pallas-resident.
+        _, term, path = pde_instance.sample_ground_truth(
+            rng_p, sde_probe_trajectories
+        )
         metrics["relative error of gradient estimation path"] = rel_err(
             _split_xv(path)[0]
         )

@@ -63,19 +63,25 @@ def _chunked_ref_sums(fn_stats, refs: jnp.ndarray, chunk: int, valid=None):
         acc = jax.tree_util.tree_map(jnp.add, acc, stats)
         return acc, None
 
-    init = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(fn_stats, refs_p[0], masks[0]),
-    )
-    total, _ = jax.lax.scan(body, init, (refs_p, masks))
+    # Seed the accumulator with the first chunk's REAL stats instead of a
+    # zeros pytree: a synthesized-constant init gets hoisted out of any
+    # enclosing scan (the trainer's fused chunk) and, under shard_map,
+    # re-enters the Manual mesh context with an Auto sharding — a context
+    # mismatch XLA rejects.  Derived-from-input init cannot be hoisted.
+    init = jax.checkpoint(fn_stats)(refs_p[0], masks[0])
+    total, _ = jax.lax.scan(body, init, (refs_p[1:], masks[1:]))
     return total
 
 
-def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
+def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None, params=None):
     """Mean over refs of flat per-pair statistics.
 
-    stats_flat(diff_flat [C, d], v_flat [C, d]) -> dict of [C] or [C, d]
-    arrays, where C = c * n * nt flattens (chunk, sample, time).  Keeping
+    stats_flat(params, diff_flat [C, d], v_flat [C, d]) -> dict of [C] or
+    [C, d] arrays, where C = c * n * nt flattens (chunk, sample, time).
+    `params` is threaded through ``shard_map`` as an explicit operand (not
+    a closure capture): trainer-replicated params carry an Auto-mesh
+    NamedSharding in their avals, and grad-of-scan inside the Manual mesh
+    context would otherwise fail building their zero cotangents.  Keeping
     the network evaluations 2-D matters doubly on TPU: one fused batched
     eval instead of triple-nested vmaps, and no >2-D tiny-trailing-dim
     tensors inside the scan body (which the Mosaic/axon compile path
@@ -92,7 +98,7 @@ def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
     m = refs.shape[0]
     n, nt, d = x.shape
 
-    def fn_stats_builder(x_l, v_l):
+    def fn_stats_builder(params_l, x_l, v_l):
         n_l = x_l.shape[0]
 
         def fn_stats(ref_c, mask_c):
@@ -100,7 +106,7 @@ def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
             diff = x_l[None] - ref_c[:, None]  # [c, n_l, nt, d]
             diff_flat = diff.reshape(-1, d)  # [C, d]
             v_flat = jnp.broadcast_to(v_l[None], (c, n_l, nt, d)).reshape(-1, d)
-            flat = stats_flat(diff_flat, v_flat)
+            flat = stats_flat(params_l, diff_flat, v_flat)
             w = mask_c.astype(x_l.dtype)
             out = {}
             for name, s in flat.items():
@@ -110,12 +116,14 @@ def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
 
         return fn_stats
 
-    def local_stats(x_l, v_l, refs_l, m_total):
-        sums = _chunked_ref_sums(fn_stats_builder(x_l, v_l), refs_l, chunk)
+    def local_stats(params_l, x_l, v_l, refs_l, m_total):
+        sums = _chunked_ref_sums(
+            fn_stats_builder(params_l, x_l, v_l), refs_l, chunk
+        )
         return jax.tree_util.tree_map(lambda s: s / m_total, sums)
 
     if mesh_spec is None or mesh_spec.n_ref == 1:
-        return local_stats(x, v, refs, m)
+        return local_stats(params, x, v, refs, m)
 
     from jax.sharding import PartitionSpec as P
 
@@ -131,9 +139,9 @@ def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
     # mask out padded refs inside the masked chunk sums
     ref_valid = jnp.arange(refs_p.shape[0]) < m
 
-    def sharded(x_l, v_l, refs_l, valid_l):
+    def sharded(params_l, x_l, v_l, refs_l, valid_l):
         sums = _chunked_ref_sums(
-            fn_stats_builder(x_l, v_l), refs_l, chunk, valid=valid_l
+            fn_stats_builder(params_l, x_l, v_l), refs_l, chunk, valid=valid_l
         )
         sums = jax.lax.psum(sums, "ref")
         return jax.tree_util.tree_map(lambda s: s / m, sums)
@@ -142,12 +150,12 @@ def _pairwise_stats(stats_flat, x, v, refs, chunk, mesh_spec=None):
     return jax.shard_map(
         sharded,
         mesh=mesh_spec.mesh,
-        in_specs=(data_spec, data_spec, P("ref"), P("ref")),
+        in_specs=(P(), data_spec, data_spec, P("ref"), P("ref")),
         out_specs=data_spec,
         # inputs vary over different manual axes by design (x over data,
         # refs over ref); the cross terms are intended outer products
         check_vma=False,
-    )(x, v, refs_p, ref_valid)
+    )(params, x, v, refs_p, ref_valid)
 
 
 def compute_weights(pde_instance, taus: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +189,27 @@ def compute_weights_per_sample(
         return d2 + d1**2 + gamma * d1
 
     return jax.vmap(per_elem)(flat_t, flat_x).reshape(taus.shape)
+
+
+def compute_weights_grouped(
+    pde_instance, taus_g: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """Grouped offline weights: taus_g [G, nt] distinct shift grids, x
+    [G, k, nt, d] trajectories ordered group-major (trajectory rows i of
+    group g all share grid g).  Evaluates the spectral moment oracle once
+    per (group, stamp) with a k-point batched density call — G*nt oracle
+    reconstructions instead of the per-element path's n*nt
+    (compute_weights_per_sample), a k-fold cut at 20k-trajectory scale.
+    Returns [G, k, nt]."""
+    gamma = pde_instance.gamma_friction
+
+    def per_stamp(s, x_k):  # scalar stamp, [k, d] points of one group
+        d1 = pde_instance.partial_s_log_density_fn(s, x_k)
+        d2 = pde_instance.partial_s2_log_density_fn(s, x_k)
+        return d2 + d1**2 + gamma * d1  # [k]
+
+    per_group = jax.vmap(per_stamp, in_axes=(0, 1), out_axes=1)  # [k, nt]
+    return jax.vmap(per_group)(taus_g, x)
 
 
 # Target element count for one chunk's flattened [chunk * n * nt, d] pass;
@@ -239,6 +268,8 @@ def make_loss_fn(
     mesh_spec=None,
     closed_form_quadratic: bool = False,
     element_budget: int = _CHUNK_ELEMENT_BUDGET,
+    blockwise_module=None,
+    blockwise_rows: int = 0,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -249,6 +280,18 @@ def make_loss_fn(
         x = x_0T.reshape(-1, n_time, d)  # [n, nt, d]
         v = v_0T.reshape(-1, n_time, d)
         weights = compute_weights(pde_instance, taus, x)  # [n, nt]
+    elif "tau_0T_groups" in data:
+        # offline, group-stratified: G distinct shift grids [G, nt], rows
+        # ordered group-major by the data policy (methods.py) — the weight
+        # oracle runs once per (group, stamp).
+        taus_g = data["tau_0T_groups"]
+        G, n_time = taus_g.shape
+        x = x_0T.reshape(-1, n_time, d)
+        v = v_0T.reshape(-1, n_time, d)
+        k = x.shape[0] // G
+        weights = compute_weights_grouped(
+            pde_instance, taus_g, x.reshape(G, k, n_time, d)
+        ).reshape(-1, n_time)
     elif "tau_0T_per_traj" in data:
         # offline: each trajectory carries its own (strided, shifted) stamps
         # [n, nt]; the reference's offline policy has no KMV-usable stamps
@@ -262,8 +305,9 @@ def make_loss_fn(
         raise ValueError(
             "KMV loss needs time stamps: online grid_time sampling provides "
             "'tau_0T'; offline datasets must carry per-trajectory stamps "
-            "('tau_0T' in the stored dataset, surfaced as 'tau_0T_per_traj' "
-            "by the offline data policy). Got keys: " + str(sorted(data))
+            "('tau_0T' in the stored dataset, surfaced as 'tau_0T_groups' "
+            "(grid-grouped) or 'tau_0T_per_traj' by the offline data "
+            "policy). Got keys: " + str(sorted(data))
         )
     refs = x  # empirical mean-field measure = the samples themselves
 
@@ -286,7 +330,7 @@ def make_loss_fn(
         mean_nabla_true = true_stats["nabla"]
     else:
         true_stats = _pairwise_stats(
-            lambda diff_flat, v_flat: {
+            lambda _p, diff_flat, v_flat: {
                 "nabla_true": ad.batched_grad(Phi_true, diff_flat)
             },
             x,
@@ -302,15 +346,31 @@ def make_loss_fn(
         Phi = lambda xi: forward_fn(params, xi)[0]
         if closed_form_quadratic:
             return _quadratic_meanfield_stats(Phi, x, v)
+        if blockwise_module is not None:
+            # MXU-shaped blockwise reduction for MLP kernels: first-layer
+            # decomposition + fused 2nd-order forward propagation (see
+            # losses/pairwise_blockwise.py). Equality-gated against the
+            # generic chunked path below.
+            from pde_inverse_tpu.losses import pairwise_blockwise as bw
 
-        def stats_flat(diff_flat, v_flat):
+            kwargs = {"mesh_spec": mesh_spec}
+            if blockwise_rows > 0:
+                kwargs["rows_per_chunk"] = blockwise_rows
+            return bw.mlp_pairwise_stats(
+                blockwise_module, params, x, v, refs, **kwargs
+            )
+
+        def stats_flat(params_l, diff_flat, v_flat):
+            Phi_l = lambda xi: forward_fn(params_l, xi)[0]
             return {
-                "nabla": ad.batched_grad(Phi, diff_flat),  # [C, d]
-                "hess": ad.batched_hvp_quadform(Phi, diff_flat, v_flat),  # [C]
-                "value": ad.batched_value(Phi, diff_flat),  # [C]
+                "nabla": ad.batched_grad(Phi_l, diff_flat),  # [C, d]
+                "hess": ad.batched_hvp_quadform(Phi_l, diff_flat, v_flat),  # [C]
+                "value": ad.batched_value(Phi_l, diff_flat),  # [C]
             }
 
-        return _pairwise_stats(stats_flat, x, v, refs, ref_chunk, mesh_spec)
+        return _pairwise_stats(
+            stats_flat, x, v, refs, ref_chunk, mesh_spec, params=params
+        )
 
     def loss_fn(params):
         """Returns (loss, gap): the mean-field accuracy diagnostic is
@@ -337,6 +397,8 @@ def value_and_grad_fn(
     mesh_spec=None,
     closed_form_quadratic: bool = False,
     element_budget: int = _CHUNK_ELEMENT_BUDGET,
+    blockwise_module=None,
+    blockwise_rows: int = 0,
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -345,6 +407,8 @@ def value_and_grad_fn(
         mesh_spec=mesh_spec,
         closed_form_quadratic=closed_form_quadratic,
         element_budget=element_budget,
+        blockwise_module=blockwise_module,
+        blockwise_rows=blockwise_rows,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

@@ -99,12 +99,15 @@ def run(cfg: Config):
         zip(seed_names, jax.random.split(jax.random.PRNGKey(cfg.seed), len(seed_names)))
     )
     if cfg.train.data_seed >= 0:
-        # Re-key ONLY the training data stream, keeping the problem
-        # instance (drawn from rng_problem) fixed: runs that differ only
-        # in data_seed see the same ground truth with independent
-        # estimator noise — the ingredient for field ensembling
-        # (same-`seed` runs share sampling keys, and their residual error
-        # fields correlate at ~0.5, scripts/diag notes in CLAUDE.md).
+        # Re-key the trainer RNG, keeping the problem instance (drawn from
+        # rng_problem) fixed: runs that differ only in data_seed see the
+        # same ground truth with independent estimator noise.  Note this
+        # re-keys the trainer's test/plot sampling too (fold_in of the
+        # trainer rng) — harmless for ensembling, where evaluation happens
+        # post-hoc on a common key (scripts/analyze_np.py).  Same-`seed`
+        # runs share sampling keys and their residual error fields
+        # correlate at ~0.5 (CLAUDE.md round-2 notes); independent streams
+        # are the ingredient for gradient-field ensembling.
         seeds["rng_trainer"] = jax.random.PRNGKey(cfg.train.data_seed)
 
     pde_instance = get_pde_instance(cfg)(cfg=cfg, rng=seeds["rng_problem"])

@@ -61,6 +61,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         self.distribution_initial_x = Gaussian.create(c["m_x_0"], c["P_x_0"])
         self.distribution_terminal = None  # only reachable by simulation
         self.dataset = None
+        self.dataset_stream = None
         if self.sample_mode == "offline":
             self.dataset = self._load_or_generate_dataset(rng_dataset)
 
@@ -80,6 +81,14 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         import numpy as np
 
         path = self.cfg.pde_instance.dataset_path
+        if self.cfg.pde_instance.offline_streaming and (
+            not path or path.endswith(".npz")
+        ):
+            raise ValueError(
+                "pde_instance.offline_streaming needs a raw array-store "
+                "dataset_path (directory, not .npz): streaming gathers "
+                "host-side from the memmap"
+            )
         if path and path.endswith(".npz"):
             if os.path.exists(path):
                 with np.load(path) as z:
@@ -94,6 +103,21 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             if not os.path.exists(os.path.join(path, "manifest.json")):
                 self._generate_dataset_to_store(path, rng)
             store = load_array_store(path)
+            if self.cfg.pde_instance.offline_streaming:
+                # Host-streaming mode: the trajectory store stays a host
+                # memmap (self.dataset_stream); only the per-step-constant
+                # initial/terminal sets go to the device.  The trainer
+                # gathers per-chunk trajectory batches host-side
+                # (methods.gather_stream_chunk) — device memory is bounded
+                # by one chunk regardless of store size.
+                self.dataset_stream = {
+                    k: store[k] for k in ("0T", "tau_0T") if k in store
+                }
+                return {
+                    k: jnp.asarray(v)
+                    for k, v in store.items()
+                    if k not in self.dataset_stream
+                }
             return {k: jnp.asarray(v) for k, v in store.items()}
         return jax.jit(self.generate_ground_truth_dataset)(rng)
 

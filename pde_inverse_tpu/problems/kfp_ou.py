@@ -172,6 +172,13 @@ class KineticFokkerPlanckOU(ProblemInstance):
         taus = jnp.tile(taus_g, (reps, 1))[:n_traj]
         dataset["0T"] = z
         dataset["tau_0T"] = taus
+        # Group structure for the KMV offline weight oracle: trajectory j
+        # uses grid j % G (the interleave above), so consumers can evaluate
+        # the per-stamp moment oracle once per (group, stamp) instead of
+        # once per (trajectory, stamp) element — G*n_time evaluations
+        # instead of n_traj*n_time (losses/kinetic_mckean_vlasov.
+        # compute_weights_grouped).  The leading axis gives G statically.
+        dataset["tau_groups"] = taus_g
         return dataset
 
     # -- models ----------------------------------------------------------------

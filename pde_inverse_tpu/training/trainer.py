@@ -92,10 +92,11 @@ class Trainer:
             )
         track = ocfg.ema_mode == "track"
 
-        def one_step_with_dataset(carry, rng, dataset):
+        def one_step_with_dataset(carry, rng, dataset, stream_batch=None):
             params, opt_state, ema_state, step_idx = carry
+            kwargs = {} if stream_batch is None else {"stream_batch": stream_batch}
             out = self.method.value_and_grad_fn(
-                self.forward_fn, params, rng, dataset=dataset
+                self.forward_fn, params, rng, dataset=dataset, **kwargs
             )
             grad = out.pop("grad")
             updates, opt_state = opt.update(grad, opt_state, params)
@@ -133,9 +134,18 @@ class Trainer:
             metrics["params_norm"] = pytree_l2_norm(params)
             return (params, opt_state, ema_state, step_idx + 1), metrics
 
-        def chunk(carry, rngs, dataset):
-            one_step = lambda c, r: one_step_with_dataset(c, r, dataset)
-            return jax.lax.scan(one_step, carry, rngs)
+        def chunk(carry, rngs, dataset, stream=None):
+            """stream: None (in-jit data policy) or a pytree of [K, ...]
+            host-gathered per-step batches (streaming offline loader) fed
+            through the scan as xs — the device holds one chunk of batches,
+            never the trajectory store."""
+            if stream is None:
+                one_step = lambda c, r: one_step_with_dataset(c, r, dataset)
+                return jax.lax.scan(one_step, carry, rngs)
+            one_step = lambda c, xs: one_step_with_dataset(
+                c, xs[0], dataset, stream_batch=xs[1]
+            )
+            return jax.lax.scan(one_step, carry, (rngs, stream))
 
         return jax.jit(chunk, donate_argnums=(0,))
 
@@ -219,12 +229,18 @@ class Trainer:
             # A ragged final chunk just triggers one extra jit specialization.
             chunk_rngs = rngs[step : step + this_k]
             dataset = getattr(self.method.pde_instance, "dataset", None)
+            stream = getattr(self.method.pde_instance, "dataset_stream", None)
+            stream_batches = (
+                self.method.gather_stream_chunk(stream, chunk_rngs)
+                if stream is not None
+                else None
+            )
             profile_now = (
                 cfg.backend.profile_dir and step == start_step + k
             )  # second chunk: compiled, steady-state
             if profile_now:
                 jax.profiler.start_trace(cfg.backend.profile_dir)
-            carry, metrics = chunk_fn(carry, chunk_rngs, dataset)
+            carry, metrics = chunk_fn(carry, chunk_rngs, dataset, stream_batches)
             if profile_now:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

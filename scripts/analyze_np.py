@@ -10,6 +10,12 @@ path support — evidence for whether the accuracy floor is estimator noise
 or data coverage.
 
 Usage: python scripts/analyze_np.py /tmp/np_ckpt_v4 [batch_size_0T=...]
+
+Ensembling (round 3): pass a comma-separated list of checkpoint dirs
+(`/tmp/a,/tmp/b,/tmp/c`) — runs differing only in train.data_seed share the
+problem instance but carry independent estimator noise, so the AVERAGED
+gradient field (mean over members of grad V_k) is evaluated; same-seed
+error fields correlate ~0.5, predicting a ~30-40% error reduction.
 """
 
 import os
@@ -28,29 +34,7 @@ from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
 from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
 
-def main(ckpt_dir: str, overrides):
-    enable_compilation_cache()
-    use_ema_state = "--ema" in overrides
-    overrides = [o for o in overrides if o != "--ema"]
-    cfg = preset(
-        "KGMM",
-        [
-            "estimation_mode=non-parametric",
-            "neural_network.hidden_dim=64",
-            "neural_network.layers=2",
-            "neural_network.feature_dim=256",
-            "neural_network.fourier_features=64",
-            "neural_network.fourier_scale=1.0",
-            "pde_instance.n_steps=200",
-            "pde_instance.integrator=baoab",
-        ]
-        + list(overrides),
-    )
-    rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
-    inst = KineticFokkerPlanckGMM(cfg, rng_problem)
-    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
-    net, params = method.create_model_fn()
-
+def _load_checkpoint_params(ckpt_dir: str, use_ema_state: bool):
     import orbax.checkpoint as ocp
 
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
@@ -72,18 +56,50 @@ def main(ckpt_dir: str, overrides):
         source = restored["ema_state"]["ema"]
     else:
         source = restored["params"]
-    params = jax.tree_util.tree_map(jnp.asarray, source)
     print(f"restored step {step} from {ckpt_dir} (ema={use_ema_state})")
+    return jax.tree_util.tree_map(jnp.asarray, source)
 
-    V = lambda x: net.apply(params, x)[0]
+
+def main(ckpt_dirs: str, overrides):
+    enable_compilation_cache()
+    use_ema_state = "--ema" in overrides
+    overrides = [o for o in overrides if o != "--ema"]
+    cfg = preset(
+        "KGMM",
+        [
+            "estimation_mode=non-parametric",
+            "neural_network.hidden_dim=64",
+            "neural_network.layers=2",
+            "neural_network.feature_dim=256",
+            "neural_network.fourier_features=64",
+            "neural_network.fourier_scale=1.0",
+            "pde_instance.n_steps=200",
+            "pde_instance.integrator=baoab",
+        ]
+        + list(overrides),
+    )
+    rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
+    inst = KineticFokkerPlanckGMM(cfg, rng_problem)
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
+    net, _ = method.create_model_fn()
+
+    dirs = [d for d in ckpt_dirs.split(",") if d]
+    members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
+    if len(members) > 1:
+        print(f"ensemble of {len(members)} members: averaged gradient field")
+
     V_true = inst.V_true_fn
 
-    def rel(x):
-        pred = ad.batched_grad(V, x)
-        true = ad.batched_grad(V_true, x)
-        num = jnp.sum((pred - true) ** 2, -1)
-        den = jnp.mean(jnp.sum(true**2, -1))
-        return num, den
+    @jax.jit
+    def fields(x):
+        """(ensemble-averaged predicted gradient, true gradient) at x —
+        computed once and reused by every metric below (the rescale block
+        previously re-ran the 50k-point sweep unjitted, ADVICE round 2)."""
+        preds = [
+            ad.batched_grad(lambda xi: net.apply(p, xi)[0], x) for p in members
+        ]
+        pred = sum(preds) / len(preds)
+        return pred, ad.batched_grad(V_true, x)
 
     key = jax.random.PRNGKey(123)
     k_init, k_path = jax.random.split(key)
@@ -91,15 +107,22 @@ def main(ckpt_dir: str, overrides):
     # (a) initial law
     z0 = inst.distribution_initial.sample(50_000, k_init)
     x0 = z0[:, : inst.dim]
-    num0, den0 = jax.jit(rel)(x0)
+    pred0, true0 = fields(x0)
+    num0 = jnp.sum((pred0 - true0) ** 2, -1)
+    den0 = jnp.mean(jnp.sum(true0**2, -1))
+    if len(members) > 1:
+        for d, p in zip(dirs, members):
+            mp = jax.jit(
+                lambda x, p: ad.batched_grad(lambda xi: net.apply(p, xi)[0], x)
+            )(x0, p)
+            r = float(jnp.sqrt(jnp.mean(jnp.sum((mp - true0) ** 2, -1)) / den0))
+            print(f"  member {d}: initial-law rel-L2 {r:.4e}")
     print(f"initial-law rel-L2: {float(jnp.sqrt(jnp.mean(num0) / den0)):.4e}")
 
     # Scale-vs-distortion split: the best single scalar c for c*grad V_theta.
     # c far from 1 with a large error drop = coherent field shrinkage
     # (e.g. weight-decay pull); c ~ 1 with no drop = distributed distortion
     # (e.g. drift along the weak-form loss's near-null directions).
-    pred0 = ad.batched_grad(V, x0)
-    true0 = ad.batched_grad(V_true, x0)
     c = float(jnp.sum(pred0 * true0) / jnp.sum(pred0 * pred0))
     resc = float(
         jnp.sqrt(jnp.mean(jnp.sum((c * pred0 - true0) ** 2, -1)) / den0)
@@ -109,7 +132,9 @@ def main(ckpt_dir: str, overrides):
     # (b) path law (fresh simulation, 2000 trajectories)
     _, _, path = jax.jit(lambda k: inst.sample_ground_truth(k, 2000))(k_path)
     xp = path[:, : inst.dim]
-    nump, denp = jax.jit(rel)(xp)
+    predp, truep = fields(xp)
+    nump = jnp.sum((predp - truep) ** 2, -1)
+    denp = jnp.mean(jnp.sum(truep**2, -1))
     print(f"path-law    rel-L2: {float(jnp.sqrt(jnp.mean(nump) / denp)):.4e}")
 
     # (c) initial samples binned by distance to the path support.

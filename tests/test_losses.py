@@ -264,6 +264,24 @@ class TestKMVLoss:
         ):
             np.testing.assert_allclose(a, b, rtol=3e-4, atol=1e-6)
 
+    def test_pairwise_true_side_matches_closed_form(self, rng, monkeypatch):
+        """Every KMV instance declares phi_true_is_quadratic, so the
+        generic pairwise true-side branch is normally bypassed; force the
+        attribute off and check the pairwise reduction reproduces the
+        closed-form sufficient statistics (loss and gap)."""
+        inst, net, params, data = self._setup(rng, n=12)
+        out_cf = kmv_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+        assert getattr(inst, "phi_true_is_quadratic", False)
+        monkeypatch.setattr(inst, "phi_true_is_quadratic", False, raising=False)
+        out_pw = kmv_loss.value_and_grad_fn(net.apply, params, data, rng, inst)
+        np.testing.assert_allclose(out_pw["loss"], out_cf["loss"], rtol=2e-5)
+        np.testing.assert_allclose(
+            out_pw["loss ground truth"],
+            out_cf["loss ground truth"],
+            rtol=2e-5,
+            atol=1e-7,
+        )
+
     def test_method_dispatches_closed_form(self, rng):
         """ConsistencyBased enables the fast path exactly for the
         parametric QuadraticFormModel (and the config can disable it)."""

@@ -244,6 +244,133 @@ class TestOfflineExactOUFamily:
             np.asarray(w_shared), np.asarray(w_per), rtol=2e-4, atol=2e-4
         )
 
+    def test_kmv_offline_grouped_weights_match_per_sample(self, rng):
+        """compute_weights_grouped (one oracle eval per (group, stamp))
+        must equal the per-element path on the same points/stamps."""
+        from pde_inverse_tpu.losses.kinetic_mckean_vlasov import (
+            compute_weights_grouped,
+            compute_weights_per_sample,
+        )
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = self._kou_cfg(name="Kinetic-McKean-Vlasov")
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        G, k, nt = 3, 4, 5
+        taus_g = jnp.sort(jax.random.uniform(rng, (G, nt)), axis=1) + 0.05
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (G, k, nt, 2))
+        w_g = compute_weights_grouped(inst, taus_g, x)
+        w_per = compute_weights_per_sample(
+            inst,
+            jnp.broadcast_to(taus_g[:, None], (G, k, nt)).reshape(-1, nt),
+            x.reshape(-1, nt, 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_g.reshape(-1, nt)), np.asarray(w_per),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_kmv_offline_grouped_policy_and_loss(self, rng):
+        """With sample_0T_size divisible by the G=64 shift groups, the
+        offline policy surfaces 'tau_0T_groups' with group-major rows, and
+        the grouped loss equals the per-trajectory path on the same data."""
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = self._kou_cfg(
+            name="Kinetic-McKean-Vlasov",
+            extra=["pde_instance.sample_0T_size=640"],
+        )
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        data = method.sample_data(rng, dataset=inst.dataset)
+        assert "tau_0T_groups" in data
+        G, nt = data["tau_0T_groups"].shape
+        assert G == 64
+        n_rows = data["0T"].shape[0] // nt
+
+        loss_g, gap_g = kmv_loss.make_loss_fn(net.apply, data, inst)(params)
+
+        # equivalent per-trajectory stamps: row r belongs to group r // k
+        k = n_rows // G
+        per_traj = jnp.broadcast_to(
+            data["tau_0T_groups"][:, None], (G, k, nt)
+        ).reshape(-1, nt)
+        data_pt = {key: v for key, v in data.items() if key != "tau_0T_groups"}
+        data_pt["tau_0T_per_traj"] = per_traj
+        loss_p, gap_p = kmv_loss.make_loss_fn(net.apply, data_pt, inst)(params)
+        np.testing.assert_allclose(
+            float(loss_g), float(loss_p), rtol=2e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(gap_g), float(gap_p), rtol=2e-5, atol=1e-7
+        )
+
+    def test_offline_streaming_trainer(self, rng, tmp_path):
+        """Host-streaming offline mode: the trajectory store stays a host
+        memmap (never jnp.asarray'd), the trainer gathers per-chunk batches
+        host-side, and training steps run with finite losses.  This is the
+        '>HBM store' training path (round-2 VERDICT missing #4)."""
+        import numpy as np
+
+        from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+        from pde_inverse_tpu.training.trainer import Trainer
+
+        store = str(tmp_path / "stream_store")
+        cfg = _offline_cfg(
+            [
+                f"pde_instance.dataset_path={store}",
+                "pde_instance.offline_streaming=True",
+                "solver.train.offline_traj_batch=16",
+                "train.number_of_iterations=6",
+                "train.steps_per_chunk=3",
+                "test.frequency=0",
+                "plot.enable=False",
+            ]
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        # the store stayed on host: 0T absent from the device dataset
+        assert "0T" not in inst.dataset
+        assert isinstance(inst.dataset_stream["0T"], np.memmap)
+
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        trainer = Trainer(
+            cfg=cfg, method=method, rng=rng, forward_fn=net.apply, params=params
+        )
+        out = trainer.fit()
+        assert all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree_util.tree_leaves(out)
+        )
+
+    def test_stream_gather_is_deterministic(self, rng, tmp_path):
+        """The host-side gather must be a pure function of the chunk keys
+        (resume reproducibility depends on it)."""
+        import numpy as np
+
+        from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+        store = str(tmp_path / "det_store")
+        cfg = _offline_cfg(
+            [
+                f"pde_instance.dataset_path={store}",
+                "pde_instance.offline_streaming=True",
+                "solver.train.offline_traj_batch=8",
+            ]
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        rngs = jax.random.split(rng, 4)
+        a = method.gather_stream_chunk(inst.dataset_stream, rngs)
+        b = method.gather_stream_chunk(inst.dataset_stream, rngs)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+        c = method.gather_stream_chunk(
+            inst.dataset_stream, jax.random.split(jax.random.fold_in(rng, 9), 4)
+        )
+        assert not np.array_equal(a["0T"], c["0T"])
+
     def test_kmv_nonparametric_online_step(self, rng):
         """Non-parametric interaction kernel (MLP Phi) on KMV: the loss,
         grad, and live test metric must all work — a capability cell the

@@ -133,6 +133,69 @@ class TestPallasLangevin:
         reason="stochastic kernel gates run on real TPU (interpret-mode "
         "PRNG returns zeros)",
     )
+    def test_antithetic_plus_half_is_plain_run_tpu(self):  # pragma: no cover
+        """Pallas path of ops.simulate antithetic=True: the +1 half must be
+        bit-identical to a plain call with the same key (production online
+        GMM runs auto-select Pallas, so the pairing must not perturb the
+        marginal path law there either)."""
+        from pde_inverse_tpu.ops.simulate import simulate
+
+        d, n, n_steps, dt = 2, 256, 20, 0.05
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        key = jax.random.PRNGKey(42)
+        z0 = jax.random.normal(key, (n, 2 * d))
+        f_pair, t_pair, tau_pair = simulate(
+            key, z0, n_steps, dt, pot, 1.0, antithetic=True, use_pallas=True
+        )
+        f, t, tau = simulate(
+            key, z0, n_steps, dt, pot, 1.0, antithetic=False, use_pallas=True
+        )
+        assert f_pair.shape == (2 * n, 2 * d)
+        np.testing.assert_array_equal(np.asarray(f_pair[:n]), np.asarray(f))
+        np.testing.assert_array_equal(np.asarray(t_pair[:n]), np.asarray(t))
+        np.testing.assert_array_equal(np.asarray(tau_pair[n:]), np.asarray(tau))
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="stochastic kernel gates run on real TPU (interpret-mode "
+        "PRNG returns zeros)",
+    )
+    def test_antithetic_pair_mean_is_noiseless_tpu(self):  # pragma: no cover
+        """noise_scale=-1 must negate the SAME per-block PRNG streams as
+        +1: the kinetic Langevin Euler map with a quadratic force is affine
+        in the Brownian increments, so the +/- pair mean must equal the
+        noise_scale=0 trajectory of the same seed exactly (up to f32
+        accumulation)."""
+        d, n, n_steps, dt = 2, 256, 30, 0.05
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jax.random.normal(jax.random.PRNGKey(3), (n, 2 * d))
+        seed = jnp.int32(1234)
+        runs = {
+            s: langevin_pallas(
+                seed, z0, n_steps, dt, pot, 1.0, return_trajectory=True,
+                noise_scale=s,
+            )
+            for s in (1.0, -1.0, 0.0)
+        }
+        for idx in (0, 1):  # final states and trajectories
+            mean = 0.5 * (runs[1.0][idx] + runs[-1.0][idx])
+            np.testing.assert_allclose(
+                np.asarray(mean), np.asarray(runs[0.0][idx]), rtol=2e-4,
+                atol=2e-5,
+            )
+        # all three share the phase stream
+        np.testing.assert_array_equal(
+            np.asarray(runs[1.0][2]), np.asarray(runs[-1.0][2])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(runs[1.0][2]), np.asarray(runs[0.0][2])
+        )
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="stochastic kernel gates run on real TPU (interpret-mode "
+        "PRNG returns zeros)",
+    )
     def test_quadratic_matches_ou_moments_tpu(self):  # pragma: no cover
         d = 2
         gamma = 1.0
