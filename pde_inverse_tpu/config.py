@@ -109,6 +109,11 @@ class SolverTrainConfig:
     # Pair rows (ref_chunk * n * nt) of width-`hidden` work per scan step of
     # the blockwise reduction; 0 = module default (1<<18).
     kmv_blockwise_rows: int = 0
+    # Pallas tile kernel for the blockwise pairwise reduction
+    # (ops/pallas/pairwise_kernel.py): "auto" uses it on TPU for plain MLP
+    # kernels (no Fourier front end), "on" forces it (interpret mode off
+    # TPU), "off" keeps the pure-XLA blockwise formulation.
+    kmv_pallas: str = "auto"
     # Trajectories per step for the host-streaming offline loader
     # (pde_instance.offline_streaming=True).  The in-jit offline policy
     # takes a fixed 1/5 of ALL trajectories per step (reference parity,

@@ -270,6 +270,7 @@ def make_loss_fn(
     element_budget: int = _CHUNK_ELEMENT_BUDGET,
     blockwise_module=None,
     blockwise_rows: int = 0,
+    pallas_mode: str = "auto",
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -353,7 +354,7 @@ def make_loss_fn(
             # generic chunked path below.
             from pde_inverse_tpu.losses import pairwise_blockwise as bw
 
-            kwargs = {"mesh_spec": mesh_spec}
+            kwargs = {"mesh_spec": mesh_spec, "pallas_mode": pallas_mode}
             if blockwise_rows > 0:
                 kwargs["rows_per_chunk"] = blockwise_rows
             return bw.mlp_pairwise_stats(
@@ -399,6 +400,7 @@ def value_and_grad_fn(
     element_budget: int = _CHUNK_ELEMENT_BUDGET,
     blockwise_module=None,
     blockwise_rows: int = 0,
+    pallas_mode: str = "auto",
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -409,6 +411,7 @@ def value_and_grad_fn(
         element_budget=element_budget,
         blockwise_module=blockwise_module,
         blockwise_rows=blockwise_rows,
+        pallas_mode=pallas_mode,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

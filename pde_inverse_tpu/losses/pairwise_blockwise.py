@@ -194,6 +194,22 @@ def _tile_stats(layers, act, dtype, ax, ar_c, av, px, pr_c, pv, mask_c):
     return out
 
 
+def pallas_supported(module) -> bool:
+    """The Pallas tile kernel covers plain MLP stacks (no Fourier front
+    end; the quadratic head is exact statistics outside the kernel)."""
+    from pde_inverse_tpu.ops.pallas import pairwise_kernel as pk
+
+    return (
+        supports(module)
+        and module.fourier_features == 0
+        and pk.supported_activation(module.activation)
+    )
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def mlp_pairwise_stats(
     module,
     params,
@@ -202,6 +218,7 @@ def mlp_pairwise_stats(
     refs: jnp.ndarray,
     rows_per_chunk: int = _ROWS_PER_CHUNK,
     mesh_spec=None,
+    pallas_mode: str = "auto",
 ):
     """Per-stamp mean over refs of {Phi, grad Phi, v^T Hess Phi v} at
     y = x_{i,t} - r_{j,t}.
@@ -292,6 +309,72 @@ def mlp_pairwise_stats(
             sums["nabla_quad"] = qs["nabla_direct"]
         return sums
 
+    def pallas_local_sums_impl(params_l, x_l, v_l, refs_l, valid_l):
+        """Forward tile reduction on the Pallas kernel (VMEM-resident layer
+        chain; ops/pallas/pairwise_kernel.py).  Output pytree matches
+        local_sums exactly so the custom-vjp backward can run the jnp
+        path's VJP."""
+        from pde_inverse_tpu.ops.pallas import pairwise_kernel as pk
+
+        layers, B_l, quad, _, _ = _mlp_structure(module, params_l)
+        (W0, b0), mids = layers[0], layers[1:]
+        W0y_l = W0[:d]
+        ax = jnp.einsum("ntd,dw->tnw", x_l, W0y_l) + b0
+        av = jnp.einsum("ntd,dw->tnw", v_l, W0y_l)
+        ar = jnp.einsum("mtd,dw->tmw", refs_l, W0y_l)
+        sums = pk.mlp_pairwise_sums(
+            mids,
+            module.activation,
+            ax.astype(dtype),
+            av.astype(dtype),
+            ar.astype(dtype),
+            valid_l,
+            compute_dtype=dtype,
+        )
+        out = {
+            "value": sums["value"].T,
+            "hess": sums["hess"].T,
+            "s_dz0": jnp.swapaxes(sums["s_dz0"], 0, 1),
+        }
+        if quad is not None:
+            qs = _quad_head_stats(
+                quad[0].astype(jnp.float32),
+                quad[1].astype(jnp.float32),
+                x_l.astype(jnp.float32),
+                v_l.astype(jnp.float32),
+                refs_l.astype(jnp.float32),
+                valid=valid_l,
+            )
+            out["value"] = out["value"] + qs["value"]
+            out["hess"] = out["hess"] + qs["hess"]
+            out["nabla_quad"] = qs["nabla_direct"]
+        return out
+
+    use_pallas = pallas_mode == "on" or (
+        pallas_mode == "auto" and _on_tpu() and pallas_supported(module)
+    )
+    if use_pallas:
+        f = jax.custom_vjp(pallas_local_sums_impl)
+
+        def _fwd(params_l, x_l, v_l, refs_l, valid_l):
+            primals = (params_l, x_l, v_l, refs_l, valid_l)
+            return pallas_local_sums_impl(*primals), primals
+
+        def _bwd(primals, g):
+            # rematerialized backward through the (equality-gated) jnp
+            # blockwise formulation — the kernel stays forward-only
+            _, vjp = jax.vjp(local_sums, *primals)
+            return vjp(g)
+
+        f.defvjp(_fwd, _bwd)
+
+        def local_sums_eff(p, xx, vv, rr, valid):
+            # float mask: custom_vjp's backward runs jax.vjp over all
+            # primals, which rejects bool inputs
+            return f(p, xx, vv, rr, valid.astype(jnp.float32))
+    else:
+        local_sums_eff = local_sums
+
     def finalize(sums):
         # final [N, w] @ [w, d] projections run OUTSIDE shard_map on the
         # original (Auto-context) params
@@ -310,7 +393,9 @@ def mlp_pairwise_stats(
         }
 
     if mesh_spec is None or mesh_spec.n_ref == 1:
-        return finalize(local_sums(params, x, v, refs, jnp.ones((m,), bool)))
+        return finalize(
+            local_sums_eff(params, x, v, refs, jnp.ones((m,), bool))
+        )
 
     from jax.sharding import PartitionSpec as P
 
@@ -323,7 +408,7 @@ def mlp_pairwise_stats(
     ref_valid = jnp.arange(rf_p.shape[0]) < m
 
     def sharded(params_l, x_l, v_l, refs_l, valid_l):
-        sums = local_sums(params_l, x_l, v_l, refs_l, valid_l)
+        sums = local_sums_eff(params_l, x_l, v_l, refs_l, valid_l)
         return jax.lax.psum(sums, "ref")
 
     data_spec = P("data") if n_data > 1 else P()

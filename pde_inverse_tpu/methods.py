@@ -165,6 +165,7 @@ class ConsistencyBased(Method):
                     kwargs["blockwise_rows"] = (
                         self.cfg.solver.train.kmv_blockwise_rows
                     )
+                    kwargs["pallas_mode"] = self.cfg.solver.train.kmv_pallas
         return self._loss_module().value_and_grad_fn(
             forward_fn=forward_fn,
             params=params,

@@ -1,0 +1,161 @@
+"""Equality gates for the Pallas blockwise pairwise KMV kernel.
+
+Interpret-mode (CPU) checks against the jnp blockwise tile machinery; the
+kernel computes masked per-stamp ref sums of {Phi, v^T Hess Phi v, first-
+layer cotangent} for plain MLP stacks.  (No PRNG inside, so interpret mode
+is exact — unlike the Langevin kernel's distributional TPU gates.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_inverse_tpu.losses import pairwise_blockwise as bw
+from pde_inverse_tpu.models.mlp import PotentialMLP
+from pde_inverse_tpu.ops.pallas import pairwise_kernel as pk
+
+
+def _setup(rng, n=13, m=11, nt=3, d=2, hidden=(16, 16), feat=8, act="tanh"):
+    net = PotentialMLP(hidden_dims=list(hidden), feature_dim=feat, activation=act)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(d))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (n, nt, d))
+    v = jax.random.normal(k2, (n, nt, d))
+    refs = jax.random.normal(k3, (m, nt, d))
+    return net, params, x, v, refs
+
+
+def _kernel_inputs(net, params, x, v, refs):
+    layers, B, quad, act, dtype = bw._mlp_structure(net, params)
+    (W0, b0), mids = layers[0], layers[1:]
+    d = x.shape[-1]
+    W0y = W0[:d]
+    # [nt, n, w0] layouts
+    ax = jnp.einsum("ntd,dw->tnw", x, W0y) + b0
+    av = jnp.einsum("ntd,dw->tnw", v, W0y)
+    ar = jnp.einsum("mtd,dw->tmw", refs, W0y)
+    return mids, ax, av, ar
+
+
+def _jnp_reference(net, params, x, v, refs, mask):
+    """Masked per-stamp sums via the jnp tile machinery (single chunk)."""
+    layers, B, quad, act, dtype = bw._mlp_structure(net, params)
+    (W0, b0) = layers[0]
+    d = x.shape[-1]
+    W0y = W0[:d]
+    ax = x @ W0y + b0  # [n, nt, w0]
+    av = v @ W0y
+    ar = refs @ W0y  # [m, nt, w0]
+    out = bw._tile_stats(
+        layers, act, dtype, ax, ar, av, None, None, None, mask
+    )
+    # -> value/hess [n, nt], s_dz0 [n, nt, w0]; kernel layout is [nt, n, .]
+    return {
+        "value": out["value"].T,
+        "hess": out["hess"].T,
+        "s_dz0": jnp.swapaxes(out["s_dz0"], 0, 1),
+    }
+
+
+class TestPairwiseKernel:
+    @pytest.mark.parametrize("act", ["tanh", "silu"])
+    def test_matches_jnp_tiles(self, act):
+        rng = jax.random.PRNGKey(3)
+        net, params, x, v, refs = _setup(rng, act=act)
+        mids, ax, av, ar = _kernel_inputs(net, params, x, v, refs)
+        mask = jnp.ones((refs.shape[0],))
+        out = pk.mlp_pairwise_sums(
+            mids, act, ax, av, ar, mask, block_i=8, block_j=4, interpret=True
+        )
+        ref = _jnp_reference(net, params, x, v, refs, mask)
+        for k in ("value", "hess", "s_dz0"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-4,
+                err_msg=k,
+            )
+
+    def test_mask_and_padding(self):
+        """Ragged n/m vs block sizes + a partial validity mask."""
+        rng = jax.random.PRNGKey(5)
+        net, params, x, v, refs = _setup(rng, n=10, m=7)
+        mids, ax, av, ar = _kernel_inputs(net, params, x, v, refs)
+        mask = jnp.asarray([1, 1, 0, 1, 0, 1, 1], jnp.float32)
+        out = pk.mlp_pairwise_sums(
+            mids, "tanh", ax, av, ar, mask, block_i=8, block_j=4,
+            interpret=True,
+        )
+        ref = _jnp_reference(net, params, x, v, refs, mask)
+        for k in ("value", "hess", "s_dz0"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-4,
+                err_msg=k,
+            )
+
+    def test_loss_and_grad_through_custom_vjp(self, monkeypatch):
+        """The full KMV loss with pallas_mode='on' (interpret) must match
+        the pure-jnp blockwise path — values AND parameter gradients (the
+        backward runs the jnp VJP by construction, but the forward values
+        feed the nonlinear loss terms)."""
+        from pde_inverse_tpu.config import Config, apply_overrides
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        monkeypatch.setattr(pk, "_INTERPRET", True)
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-McKean-Vlasov",
+                "pde_instance.domain_dim=2",
+                "pde_instance.total_evolving_time=1",
+            ],
+        )
+        rng = jax.random.PRNGKey(11)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        net = PotentialMLP(
+            hidden_dims=[16, 16], feature_dim=8, quadratic_head=True
+        )
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(2))
+        n, nt = 12, 2
+        data = {
+            "0T": inst.sample_ground_truth(rng, (nt, n)),
+            "tau_0T": inst.get_time_sample_ground_truth(rng, (nt, n)),
+        }
+        out_jnp = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst, blockwise_module=net,
+            pallas_mode="off",
+        )
+        out_pl = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst, blockwise_module=net,
+            pallas_mode="on",
+        )
+        np.testing.assert_allclose(
+            float(out_pl["loss"]), float(out_jnp["loss"]), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            float(out_pl["loss ground truth"]),
+            float(out_jnp["loss ground truth"]),
+            rtol=2e-4,
+            atol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_pl["grad"]),
+            jax.tree_util.tree_leaves(out_jnp["grad"]),
+        ):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+    def test_single_hidden_layer(self):
+        rng = jax.random.PRNGKey(7)
+        net, params, x, v, refs = _setup(rng, hidden=(8,), feat=8)
+        mids, ax, av, ar = _kernel_inputs(net, params, x, v, refs)
+        mask = jnp.ones((refs.shape[0],))
+        out = pk.mlp_pairwise_sums(
+            mids, "tanh", ax, av, ar, mask, block_i=8, block_j=8,
+            interpret=True,
+        )
+        ref = _jnp_reference(net, params, x, v, refs, mask)
+        for k in ("value", "hess", "s_dz0"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-4,
+                err_msg=k,
+            )
