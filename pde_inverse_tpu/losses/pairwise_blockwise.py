@@ -195,7 +195,7 @@ def _tile_stats(layers, act, dtype, ax, ar_c, av, px, pr_c, pv, mask_c):
 
 
 def pallas_supported(module) -> bool:
-    """The Pallas tile kernel covers plain MLP stacks (no Fourier front
+    """The Pallas tile kernels cover plain MLP stacks (no Fourier front
     end; the quadratic head is exact statistics outside the kernel)."""
     from pde_inverse_tpu.ops.pallas import pairwise_kernel as pk
 
@@ -294,19 +294,6 @@ def mlp_pairwise_stats(
             else (ar_p[1:], mask_p[1:], pr_p[1:])
         )
         sums, _ = jax.lax.scan(body, init, xs)
-
-        if quad is not None:
-            qs = _quad_head_stats(
-                quad[0].astype(jnp.float32),
-                quad[1].astype(jnp.float32),
-                x_l.astype(jnp.float32),
-                v_l.astype(jnp.float32),
-                refs_l.astype(jnp.float32),
-                valid=valid_l,
-            )
-            sums["value"] = sums["value"] + qs["value"]
-            sums["hess"] = sums["hess"] + qs["hess"]
-            sums["nabla_quad"] = qs["nabla_direct"]
         return sums
 
     def pallas_local_sums_impl(params_l, x_l, v_l, refs_l, valid_l):
@@ -331,26 +318,60 @@ def mlp_pairwise_stats(
             valid_l,
             compute_dtype=dtype,
         )
-        out = {
+        return {
             "value": sums["value"].T,
             "hess": sums["hess"].T,
             "s_dz0": jnp.swapaxes(sums["s_dz0"], 0, 1),
         }
-        if quad is not None:
-            qs = _quad_head_stats(
-                quad[0].astype(jnp.float32),
-                quad[1].astype(jnp.float32),
-                x_l.astype(jnp.float32),
-                v_l.astype(jnp.float32),
-                refs_l.astype(jnp.float32),
-                valid=valid_l,
-            )
-            out["value"] = out["value"] + qs["value"]
-            out["hess"] = out["hess"] + qs["hess"]
-            out["nabla_quad"] = qs["nabla_direct"]
-        return out
 
-    use_pallas = pallas_mode == "on" or (
+    def pallas_bwd(primals, g):
+        """Full-kernel backward: the upstream cotangent of the delta0 sums
+        enters the backward kernel as one more first-order tangent
+        direction, so the whole VJP is a second Pallas pass
+        (ops/pallas/pairwise_kernel.mlp_pairwise_sums_bwd, equality-gated
+        against jax.vjp of the jnp tile math)."""
+        from pde_inverse_tpu.ops.pallas import pairwise_kernel as pk
+
+        params_l, x_l, v_l, refs_l, valid_l = primals
+        layers, _, _, _, _ = _mlp_structure(module, params_l)
+        (W0, b0), mids = layers[0], layers[1:]
+        W0y_l = W0[:d]
+        ax = jnp.einsum("ntd,dw->tnw", x_l, W0y_l) + b0
+        av = jnp.einsum("ntd,dw->tnw", v_l, W0y_l)
+        ar = jnp.einsum("mtd,dw->tmw", refs_l, W0y_l)
+        mids_bar, ax_bar, av_bar, ar_bar = pk.mlp_pairwise_sums_bwd(
+            mids,
+            module.activation,
+            ax.astype(dtype),
+            av.astype(dtype),
+            ar.astype(dtype),
+            valid_l,
+            g["value"].T,
+            g["hess"].T,
+            jnp.swapaxes(g["s_dz0"], 0, 1),
+            compute_dtype=dtype,
+        )
+        dW0y = (
+            jnp.einsum("ntd,tnw->dw", x_l, ax_bar)
+            + jnp.einsum("ntd,tnw->dw", v_l, av_bar)
+            + jnp.einsum("mtd,tmw->dw", refs_l, ar_bar)
+        )
+        db0 = jnp.sum(ax_bar, axis=(0, 1))
+        p_un = _unwrap(params_l)
+        cot_un = {
+            key: jax.tree_util.tree_map(jnp.zeros_like, val)
+            for key, val in p_un.items()
+        }
+        cot_un["Dense_0"] = {"kernel": dW0y, "bias": db0}
+        for k, (wb, bb) in enumerate(mids_bar, start=1):
+            cot_un[f"Dense_{k}"] = {"kernel": wb, "bias": bb}
+        cot = {"params": cot_un} if "params" in params_l else cot_un
+        x_bar = jnp.einsum("tnw,dw->ntd", ax_bar, W0y_l)
+        v_bar = jnp.einsum("tnw,dw->ntd", av_bar, W0y_l)
+        refs_bar = jnp.einsum("tmw,dw->mtd", ar_bar, W0y_l)
+        return (cot, x_bar, v_bar, refs_bar, jnp.zeros_like(valid_l))
+
+    use_pallas = pallas_mode in ("on", "fwd") or (
         pallas_mode == "auto" and _on_tpu() and pallas_supported(module)
     )
     if use_pallas:
@@ -360,36 +381,49 @@ def mlp_pairwise_stats(
             primals = (params_l, x_l, v_l, refs_l, valid_l)
             return pallas_local_sums_impl(*primals), primals
 
-        def _bwd(primals, g):
+        def _bwd_jnp(primals, g):
             # rematerialized backward through the (equality-gated) jnp
-            # blockwise formulation — the kernel stays forward-only
+            # blockwise formulation — kernel forward only ("fwd" mode)
             _, vjp = jax.vjp(local_sums, *primals)
             return vjp(g)
 
-        f.defvjp(_fwd, _bwd)
+        f.defvjp(_fwd, _bwd_jnp if pallas_mode == "fwd" else pallas_bwd)
 
         def local_sums_eff(p, xx, vv, rr, valid):
-            # float mask: custom_vjp's backward runs jax.vjp over all
-            # primals, which rejects bool inputs
+            # float mask: the backward paths differentiate/consume the mask
+            # as a float operand, and jax.vjp rejects bool inputs
             return f(p, xx, vv, rr, valid.astype(jnp.float32))
     else:
         local_sums_eff = local_sums
 
     def finalize(sums):
-        # final [N, w] @ [w, d] projections run OUTSIDE shard_map on the
-        # original (Auto-context) params
-        layers_f, B_f, _, _, _ = _mlp_structure(module, params)
+        # final [N, w] @ [w, d] projections and the exact quadratic-head
+        # sufficient statistics run OUTSIDE shard_map / the custom-vjp
+        # boundary, on the original (Auto-context) params — plain
+        # differentiable jnp
+        layers_f, B_f, quad_f, _, _ = _mlp_structure(module, params)
         W0y_f = layers_f[0][0][:d].astype(jnp.float32)
         s_dz0 = sums["s_dz0"].astype(jnp.float32)
         nabla = s_dz0 @ W0y_f.T
         if "s_dproj" in sums:
             nabla = nabla + sums["s_dproj"] @ B_f.astype(jnp.float32).T
-        if "nabla_quad" in sums:
-            nabla = nabla + sums["nabla_quad"]
+        value, hess = sums["value"], sums["hess"]
+        if quad_f is not None:
+            qs = _quad_head_stats(
+                quad_f[0].astype(jnp.float32),
+                quad_f[1].astype(jnp.float32),
+                x.astype(jnp.float32),
+                v.astype(jnp.float32),
+                refs.astype(jnp.float32),
+                valid=jnp.ones((m,), jnp.float32),
+            )
+            value = value + qs["value"]
+            hess = hess + qs["hess"]
+            nabla = nabla + qs["nabla_direct"]
         return {
             "nabla": nabla / m,
-            "hess": sums["hess"] / m,
-            "value": sums["value"] / m,
+            "hess": hess / m,
+            "value": value / m,
         }
 
     if mesh_spec is None or mesh_spec.n_ref == 1:

@@ -57,6 +57,37 @@ def _softplus_d012(z):
 _ACT_D012 = {"tanh": _tanh_d012, "silu": _silu_d012, "softplus": _softplus_d012}
 
 
+# activation -> (act, act', act'', act''') — the backward kernel needs the
+# third derivative (it backprops through a second-order forward stream)
+def _tanh_d0123(z):
+    a = jnp.tanh(z)
+    d1 = 1.0 - a * a
+    d2 = -2.0 * a * d1
+    d3 = d1 * (4.0 * a * a - 2.0 * d1)
+    return a, d1, d2, d3
+
+
+def _silu_d0123(z):
+    s = jax.nn.sigmoid(z)
+    s1 = s * (1.0 - s)
+    s2 = s1 * (1.0 - 2.0 * s)
+    s3 = s2 * (1.0 - 2.0 * s) - 2.0 * s1 * s1
+    return z * s, s + z * s1, 2.0 * s1 + z * s2, 3.0 * s2 + z * s3
+
+
+def _softplus_d0123(z):
+    s = jax.nn.sigmoid(z)
+    s1 = s * (1.0 - s)
+    return jax.nn.softplus(z), s, s1, s1 * (1.0 - 2.0 * s)
+
+
+_ACT_D0123 = {
+    "tanh": _tanh_d0123,
+    "silu": _silu_d0123,
+    "softplus": _softplus_d0123,
+}
+
+
 def supported_activation(name: str) -> bool:
     return name in _ACT_D012
 
@@ -77,10 +108,25 @@ def _dot_t(a, b):
     )
 
 
+def _pair_rows(axb, arb, avb, compute_dtype):
+    """First-layer outer difference + velocity tangent as flat pair rows:
+    axb/avb [bi, w0], arb [bj, w0] -> (z, dz) [bj*bi, w0].  Row r = q*bj...
+    rows are ordered ref-major: r = p*bi + q pairs ref p with point q."""
+    cd = lambda t: t.astype(compute_dtype)
+    bj, bi = arb.shape[0], axb.shape[0]
+    w0 = axb.shape[1]
+    z = (cd(axb)[None, :, :] - cd(arb)[:, None, :]).reshape(bj * bi, w0)
+    dz = jnp.broadcast_to(cd(avb)[None, :, :], (bj, bi, w0)).reshape(
+        bj * bi, w0
+    )
+    return z, dz
+
+
 def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
-    """Kernel body.  refs layout:
+    """Forward kernel body.  refs layout:
     [ax, av, ar, mask, W_1, b_1, ..., W_L, b_L, out_val, out_hess, out_dz0]
     with ax/av [1, bi, w0]; ar [1, bj, w0]; mask [1, bj]; weights full.
+    All pair math runs on flat [bj*bi, w] rows (plain 2-D MXU matmuls).
     """
     act = _ACT_D012[act_name]
     ax_ref, av_ref, ar_ref, mask_ref = refs[:4]
@@ -96,9 +142,7 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     bi, w0 = axb.shape
     bj = arb.shape[0]
 
-    # first-layer outer difference + tangent streams, [bj, bi, w0]
-    z = cd(axb)[None, :, :] - cd(arb)[:, None, :]
-    dz = jnp.broadcast_to(cd(avb)[None, :, :], (bj, bi, w0))
+    z, dz = _pair_rows(axb, arb, avb, compute_dtype)
     d2z = None  # exactly zero at the first layer (linear in y)
 
     preacts = []
@@ -117,7 +161,7 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     zf = z.astype(jnp.float32)
     dzf = dz.astype(jnp.float32)
     d2zf = (jnp.zeros_like(zf) if d2z is None else d2z).astype(jnp.float32)
-    f = jnp.sum(zf * zf, axis=-1)  # [bj, bi]
+    f = jnp.sum(zf * zf, axis=-1)  # [bj*bi]
     d2f = 2.0 * jnp.sum(dzf * dzf + zf * d2zf, axis=-1)
 
     # backward sweep to the first-layer cotangent
@@ -127,12 +171,12 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
         _, d1, _ = act(preacts[k])
         delta = (_dot_t(delta, W) * d1).astype(compute_dtype)
 
-    # masked sums over the ref-block axis
-    val_c = jnp.sum(mk[:, None] * f, axis=0)  # [bi]
-    hess_c = jnp.sum(mk[:, None] * d2f, axis=0)
-    dz0_c = jnp.sum(
-        mk[:, None, None] * delta.astype(jnp.float32), axis=0
-    )  # [bi, w0]
+    # masked sums over the ref axis of the tile
+    mk2 = jnp.broadcast_to(mk[:, None], (bj, bi))
+    val_c = jnp.sum(mk2 * f.reshape(bj, bi), axis=0)  # [bi]
+    hess_c = jnp.sum(mk2 * d2f.reshape(bj, bi), axis=0)
+    dz0_m = delta.astype(jnp.float32) * mk2.reshape(bj * bi, 1)
+    dz0_c = jnp.sum(dz0_m.reshape(bj, bi, w0), axis=0)  # [bi, w0]
 
     @pl.when(j == 0)
     def _():
@@ -246,3 +290,245 @@ def mlp_pairwise_sums(
         "hess": hess[:, :n],
         "s_dz0": s_dz0[:, :n],
     }
+
+
+def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
+    """Backward kernel body.
+
+    The VJP of the masked pairwise sums w.r.t. (mid-layer weights, ax, av,
+    ar) given upstream cotangents (g_val, g_hess, g_dz0).  Key identity:
+    the cotangent of the summed first-layer cotangent acts as ONE MORE
+    first-order tangent direction r0 = g_dz0[i] at the z0 level, so the
+    whole backward is a 4-stream forward propagation (z, p=d_v z,
+    q=d_v^2 z, r=d_g z) of the per-pair scalar
+
+        S = mask_j * (g_val[i] * Phi + g_hess[i] * d2f_v + df_r)
+
+    followed by one reverse sweep that accumulates weight gradients in
+    revisited constant-index output blocks across the whole grid.
+
+    refs layout: [ax, av, ar, mask, gval, ghess, gdz0,
+                  W_1, b_1, ..., W_L, b_L,
+                  out_Wbar_1, out_bbar_1, ..., out_ax_bar, out_av_bar,
+                  out_ar_bar_partial]
+    """
+    act3 = _ACT_D0123[act_name]
+    ax_ref, av_ref, ar_ref, mask_ref, gval_ref, ghess_ref, gdz0_ref = refs[:7]
+    w_refs = refs[7 : 7 + 2 * n_mid]
+    grad_refs = refs[7 + 2 * n_mid : 7 + 4 * n_mid]
+    axbar_ref, avbar_ref, arbar_ref = refs[7 + 4 * n_mid :]
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    first_cell = (t == 0) & (i == 0) & (j == 0)
+    cd = lambda a: a.astype(compute_dtype)
+
+    axb = ax_ref[0]
+    avb = av_ref[0]
+    arb = ar_ref[0]
+    mk = mask_ref[0]  # [bj]
+    gv = gval_ref[0]  # [bi]
+    gh = ghess_ref[0]  # [bi]
+    gr = gdz0_ref[0]  # [bi, w0]
+    bi, w0 = axb.shape
+    bj = arb.shape[0]
+    R = bj * bi
+
+    # 4 forward streams on flat pair rows
+    z, p = _pair_rows(axb, arb, avb, compute_dtype)
+    q = None  # exactly zero at z0
+    r = jnp.broadcast_to(cd(gr)[None, :, :], (bj, bi, w0)).reshape(R, w0)
+
+    saved = []
+    for k in range(n_mid):
+        W = cd(w_refs[2 * k][...])
+        b = cd(w_refs[2 * k + 1][...])
+        saved.append((z, p, q, r))
+        a0, a1, a2, _ = act3(z)
+        h = a0
+        hp = a1 * p
+        hq = a2 * p * p if q is None else a2 * p * p + a1 * q
+        hr = a1 * r
+        z = (_dot(h, W) + b).astype(compute_dtype)
+        p = _dot(hp, W).astype(compute_dtype)
+        q = _dot(hq, W).astype(compute_dtype)
+        r = _dot(hr, W).astype(compute_dtype)
+
+    # head cotangents of S (mask folded in per pair row)
+    zf = z.astype(jnp.float32)
+    pf = p.astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    rf = r.astype(jnp.float32)
+    mrow = jnp.broadcast_to(mk[:, None], (bj, bi)).reshape(R, 1)
+    gvrow = jnp.broadcast_to(gv[None, :], (bj, bi)).reshape(R, 1) * mrow
+    ghrow = jnp.broadcast_to(gh[None, :], (bj, bi)).reshape(R, 1) * mrow
+    zbar = 2.0 * gvrow * zf + 2.0 * ghrow * qf + 2.0 * mrow * rf
+    pbar = 4.0 * ghrow * pf
+    qbar = 2.0 * ghrow * zf
+    rbar = 2.0 * mrow * zf
+
+    # reverse sweep with in-kernel weight-gradient accumulation
+    zbar = zbar.astype(compute_dtype)
+    pbar = pbar.astype(compute_dtype)
+    qbar = qbar.astype(compute_dtype)
+    rbar = rbar.astype(compute_dtype)
+    for k in reversed(range(n_mid)):
+        W = cd(w_refs[2 * k][...])
+        zk, pk, qk, rk = saved[k]
+        a0, a1, a2, a3 = act3(zk)
+        h = a0
+        hp = a1 * pk
+        hq = a2 * pk * pk if qk is None else a2 * pk * pk + a1 * qk
+        hr = a1 * rk
+
+        def wcon(lhs, rhs):  # [R, win]^T @ [R, wout] -> [win, wout], f32
+            return jax.lax.dot_general(
+                lhs, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        wbar = (
+            wcon(h, zbar) + wcon(hp, pbar) + wcon(hq, qbar) + wcon(hr, rbar)
+        )
+        bbar = jnp.sum(zbar.astype(jnp.float32), axis=0)
+
+        @pl.when(first_cell)
+        def _(k=k, wbar=wbar, bbar=bbar):
+            grad_refs[2 * k][...] = wbar
+            grad_refs[2 * k + 1][...] = bbar
+
+        @pl.when(jnp.logical_not(first_cell))
+        def _(k=k, wbar=wbar, bbar=bbar):
+            grad_refs[2 * k][...] += wbar
+            grad_refs[2 * k + 1][...] += bbar
+
+        hbar = _dot_t(zbar, W)
+        hpbar = _dot_t(pbar, W)
+        hqbar = _dot_t(qbar, W)
+        hrbar = _dot_t(rbar, W)
+        zbar_new = hbar * a1 + hpbar * (a2 * pk) + hrbar * (a2 * rk)
+        zbar_new = zbar_new + hqbar * (
+            a3 * pk * pk if qk is None else a3 * pk * pk + a2 * qk
+        )
+        pbar = (hpbar * a1 + hqbar * (2.0 * a2 * pk)).astype(compute_dtype)
+        qbar = (hqbar * a1).astype(compute_dtype)
+        rbar = (hrbar * a1).astype(compute_dtype)
+        zbar = zbar_new.astype(compute_dtype)
+
+    # z0-level cotangents -> ax/av accumulators and the ar partial
+    z0bar = zbar.astype(jnp.float32).reshape(bj, bi, w0)
+    p0bar = pbar.astype(jnp.float32).reshape(bj, bi, w0)
+    ax_c = jnp.sum(z0bar, axis=0)  # [bi, w0]
+    av_c = jnp.sum(p0bar, axis=0)
+    ar_c = -jnp.sum(z0bar, axis=1)  # [bj, w0]
+
+    @pl.when(j == 0)
+    def _():
+        axbar_ref[0] = ax_c
+        avbar_ref[0] = av_c
+
+    @pl.when(j > 0)
+    def _():
+        axbar_ref[0] += ax_c
+        avbar_ref[0] += av_c
+
+    arbar_ref[0, 0] = ar_c  # (i, t, j) cell written exactly once
+
+
+def mlp_pairwise_sums_bwd(
+    mids: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    act_name: str,
+    ax: jnp.ndarray,
+    av: jnp.ndarray,
+    ar: jnp.ndarray,
+    mask: jnp.ndarray,
+    g_val: jnp.ndarray,
+    g_hess: jnp.ndarray,
+    g_dz0: jnp.ndarray,
+    compute_dtype=jnp.float32,
+    block_i: int = 256,
+    block_j: int = 8,
+    interpret: bool = False,
+):
+    """VJP of ``mlp_pairwise_sums`` w.r.t. (mids, ax, av, ar).
+
+    g_val/g_hess: [nt, n]; g_dz0: [nt, n, w0] upstream cotangents.
+    Returns (mids_bar [(Wbar, bbar)...], ax_bar [nt, n, w0], av_bar,
+    ar_bar [nt, m, w0]).
+    """
+    nt, n, w0 = ax.shape
+    m = ar.shape[1]
+    n_mid = len(mids)
+
+    bi = min(block_i, _round_up(n, 8))
+    bj = min(block_j, m)
+    n_pad = _round_up(n, bi)
+    m_pad = _round_up(m, bj)
+    mask = mask.astype(jnp.float32)
+    if n_pad != n:
+        padn = ((0, 0), (0, n_pad - n))
+        ax = jnp.pad(ax, padn + ((0, 0),))
+        av = jnp.pad(av, padn + ((0, 0),))
+        g_val = jnp.pad(g_val, padn)
+        g_hess = jnp.pad(g_hess, padn)
+        g_dz0 = jnp.pad(g_dz0, padn + ((0, 0),))
+    if m_pad != m:
+        ar = jnp.pad(ar, ((0, 0), (0, m_pad - m), (0, 0)))
+        mask = jnp.pad(mask, (0, m_pad - m))
+    mask2 = mask[None, :]
+    n_blk_i = n_pad // bi
+
+    grid = (nt, n_blk_i, m_pad // bj)
+    in_specs = [
+        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # ax
+        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # av
+        pl.BlockSpec((1, bj, w0), lambda t, i, j: (t, j, 0)),  # ar
+        pl.BlockSpec((1, bj), lambda t, i, j: (0, j)),  # mask
+        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_val
+        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_hess
+        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # g_dz0
+    ]
+    args = [ax, av, ar, mask2, g_val, g_hess, g_dz0]
+    for W, b in mids:
+        in_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
+        args.append(W)
+        in_specs.append(pl.BlockSpec((b.shape[0],), lambda t, i, j: (0,)))
+        args.append(b)
+
+    out_shape = []
+    out_specs = []
+    for W, b in mids:  # weight grads: constant-index accumulators
+        out_shape.append(jax.ShapeDtypeStruct(W.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((b.shape[0],), lambda t, i, j: (0,)))
+    out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)))
+    # ar partials: one extra point-block axis, each (i, t, j) cell written
+    # exactly once (the j-fastest grid order cannot revisit (t, j) blocks
+    # consecutively across i)
+    out_shape.append(
+        jax.ShapeDtypeStruct((n_blk_i, nt, m_pad, w0), jnp.float32)
+    )
+    out_specs.append(
+        pl.BlockSpec((1, 1, bj, w0), lambda t, i, j: (i, t, j, 0))
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_mid, act_name, compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret or _INTERPRET,
+    )(*args)
+
+    mids_bar = [
+        (outs[2 * k], outs[2 * k + 1]) for k in range(n_mid)
+    ]
+    ax_bar = outs[2 * n_mid][:, :n]
+    av_bar = outs[2 * n_mid + 1][:, :n]
+    ar_bar = jnp.sum(outs[2 * n_mid + 2], axis=0)[:, :m]
+    return mids_bar, ax_bar, av_bar, ar_bar

@@ -92,7 +92,8 @@ class TestPairwiseKernel:
                 err_msg=k,
             )
 
-    def test_loss_and_grad_through_custom_vjp(self, monkeypatch):
+    @pytest.mark.parametrize("mode", ["on", "fwd"])
+    def test_loss_and_grad_through_custom_vjp(self, monkeypatch, mode):
         """The full KMV loss with pallas_mode='on' (interpret) must match
         the pure-jnp blockwise path — values AND parameter gradients (the
         backward runs the jnp VJP by construction, but the forward values
@@ -127,7 +128,7 @@ class TestPairwiseKernel:
         )
         out_pl = kmv_loss.value_and_grad_fn(
             net.apply, params, data, rng, inst, blockwise_module=net,
-            pallas_mode="on",
+            pallas_mode=mode,
         )
         np.testing.assert_allclose(
             float(out_pl["loss"]), float(out_jnp["loss"]), rtol=2e-4
@@ -143,6 +144,60 @@ class TestPairwiseKernel:
             jax.tree_util.tree_leaves(out_jnp["grad"]),
         ):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+    @pytest.mark.parametrize("act", ["tanh", "silu"])
+    def test_backward_kernel_matches_jnp_vjp(self, act):
+        """mlp_pairwise_sums_bwd must equal jax.vjp of the jnp tile math
+        w.r.t. (mid-layer weights, ax, av, ar) for random upstream
+        cotangents — including mask + ragged-block padding."""
+        from pde_inverse_tpu.models.mlp import _ACTIVATIONS
+
+        rng = jax.random.PRNGKey(13)
+        net, params, x, v, refs = _setup(rng, n=10, m=7, act=act)
+        mids, ax, av, ar = _kernel_inputs(net, params, x, v, refs)
+        mask = jnp.asarray([1, 1, 0, 1, 1, 0, 1], jnp.float32)
+        act_fn = _ACTIVATIONS[act]
+        w0 = ax.shape[-1]
+        dummy0 = (jnp.zeros((2, w0)), jnp.zeros((w0,)))
+
+        def f(mids_, ax_, av_, ar_):
+            out = bw._tile_stats(
+                [dummy0] + list(mids_),
+                act_fn,
+                jnp.float32,
+                jnp.swapaxes(ax_, 0, 1),
+                jnp.swapaxes(ar_, 0, 1),
+                jnp.swapaxes(av_, 0, 1),
+                None,
+                None,
+                None,
+                mask,
+            )
+            return {
+                "value": out["value"].T,
+                "hess": out["hess"].T,
+                "s_dz0": jnp.swapaxes(out["s_dz0"], 0, 1),
+            }
+
+        out, vjp = jax.vjp(f, mids, ax, av, ar)
+        kg = jax.random.split(jax.random.PRNGKey(17), 3)
+        g = {
+            "value": jax.random.normal(kg[0], out["value"].shape),
+            "hess": jax.random.normal(kg[1], out["hess"].shape),
+            "s_dz0": jax.random.normal(kg[2], out["s_dz0"].shape),
+        }
+        want_mids, want_ax, want_av, want_ar = vjp(g)
+        got_mids, got_ax, got_av, got_ar = pk.mlp_pairwise_sums_bwd(
+            mids, act, ax, av, ar, mask,
+            g["value"], g["hess"], g["s_dz0"],
+            block_i=8, block_j=4, interpret=True,
+        )
+        for (gw, gb), (ww, wb) in zip(got_mids, want_mids):
+            np.testing.assert_allclose(gw, ww, rtol=3e-4, atol=3e-4)
+            np.testing.assert_allclose(gb, wb, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(got_ax, want_ax, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(got_av, want_av, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(got_ar, want_ar, rtol=3e-4, atol=3e-4)
 
     def test_single_hidden_layer(self):
         rng = jax.random.PRNGKey(7)
