@@ -145,6 +145,27 @@ class TestPairwiseKernel:
         ):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
 
+    def test_pallas_path_on_2d_mesh(self, monkeypatch):
+        """Kernel + custom_vjp inside the (data, ref) shard_map must equal
+        the local pure-jnp path (stats and loss grads reduce over the ref
+        axis with psum around the kernel calls)."""
+        from pde_inverse_tpu.config import BackendConfig
+        from pde_inverse_tpu.parallel.mesh import build_mesh
+
+        monkeypatch.setattr(pk, "_INTERPRET", True)
+        rng = jax.random.PRNGKey(19)
+        net, params, x, v, refs = _setup(rng, n=16, m=16)
+        spec = build_mesh(BackendConfig(data_axis_size=2, ref_axis_size=4))
+        local = bw.mlp_pairwise_stats(net, params, x, v, refs, pallas_mode="off")
+        sharded = bw.mlp_pairwise_stats(
+            net, params, x, v, refs, pallas_mode="on", mesh_spec=spec
+        )
+        for k in ("nabla", "hess", "value"):
+            np.testing.assert_allclose(
+                np.asarray(sharded[k]), np.asarray(local[k]), rtol=1e-4,
+                atol=1e-5, err_msg=k,
+            )
+
     @pytest.mark.parametrize("act", ["tanh", "silu"])
     def test_backward_kernel_matches_jnp_vjp(self, act):
         """mlp_pairwise_sums_bwd must equal jax.vjp of the jnp tile math
