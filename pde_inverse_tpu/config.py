@@ -132,6 +132,11 @@ class SolverConfig:
 class NetworkConfig:
     """Hypothesis-network hyperparameters (reference ``neural_network/MLP.yaml``)."""
 
+    # Non-parametric hypothesis family: "mlp" (PotentialMLP, reference
+    # parity) or "fourier-kernel" (random-Fourier-feature kernel whose KMV
+    # mean-field expectations collapse to O((n+m)K) sufficient statistics
+    # — no pairwise grid; models/fourier_kernel.py).
+    model: str = "mlp"
     hidden_dim: int = 20
     layers: int = 8
     n_resblocks: int = 0

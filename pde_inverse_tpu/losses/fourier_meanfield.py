@@ -1,0 +1,75 @@
+"""Exact O((n+m)K) mean-field statistics for the Fourier kernel model.
+
+For Phi in the random-Fourier-feature class (models/fourier_kernel.py),
+every mean-field expectation factors through per-stamp sufficient
+statistics of the refs via the angle-difference identities — the same
+collapse `_quadratic_meanfield_stats` performs for quadratic kernels,
+extended to a universal kernel class.  With C_t = E_r cos(w_k . r_t),
+S_t = E_r sin(w_k . r_t), cx = cos(w_k . x), sx = sin(w_k . x):
+
+    E_r cos(w_k . (x - r)) = cx C + sx S          (:= Ecos)
+    E_r sin(w_k . (x - r)) = sx C - cx S          (:= Esin)
+
+    E_r Phi(x - r)             =  Ecos . a + Esin . b
+    E_r grad Phi(x - r)        =  sum_k [ -a_k Esin_k + b_k Ecos_k ] w_k
+    E_r v^T Hess Phi(x - r) v  = -sum_k (w_k . v)^2 (a_k Ecos_k + b_k Esin_k)
+
+No pairwise grid exists anywhere; everything is K-wide batched matmuls and
+elementwise trig, so the computation is mesh-transparent — GSPMD shards the
+point axis and inserts the ref-axis mean reductions on its own (no
+shard_map needed, unlike the O(n^2) paths).
+
+Equality against the generic pairwise reduction (same Phi, brute-force
+O(n^2)) is gated by tests/test_fourier_kernel.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pde_inverse_tpu.losses.pairwise_blockwise import _quad_head_stats, _unwrap
+
+
+def supports(module) -> bool:
+    from pde_inverse_tpu.models.fourier_kernel import FourierKernelModel
+
+    return isinstance(module, FourierKernelModel)
+
+
+def meanfield_stats(module, params, x, v, refs):
+    """x, v: [n, nt, d]; refs: [m, nt, d].  Returns the same pytree as the
+    pairwise paths: {"nabla" [n, nt, d], "hess" [n, nt], "value" [n, nt]}
+    (per-stamp means over the refs)."""
+    p = _unwrap(params)
+    omega = p["omega"]  # [K, d]
+    a = p["amp_cos"]
+    b = p["amp_sin"]
+    m = refs.shape[0]
+
+    px = jnp.einsum("ntd,kd->ntk", x, omega)
+    pv = jnp.einsum("ntd,kd->ntk", v, omega)
+    pr = jnp.einsum("mtd,kd->mtk", refs, omega)
+    C = jnp.mean(jnp.cos(pr), axis=0)  # [nt, K] sufficient statistics
+    S = jnp.mean(jnp.sin(pr), axis=0)
+
+    cx, sx = jnp.cos(px), jnp.sin(px)
+    Ecos = cx * C[None] + sx * S[None]  # [n, nt, K]
+    Esin = sx * C[None] - cx * S[None]
+
+    value = Ecos @ a + Esin @ b  # [n, nt]
+    nabla = jnp.einsum("ntk,kd->ntd", b * Ecos - a * Esin, omega)
+    hess = -jnp.sum(pv * pv * (a * Ecos + b * Esin), axis=-1)
+
+    if module.quadratic_head:
+        qs = _quad_head_stats(
+            p["quad_A"].astype(jnp.float32),
+            p["quad_b"].astype(jnp.float32),
+            x.astype(jnp.float32),
+            v.astype(jnp.float32),
+            refs.astype(jnp.float32),
+            valid=jnp.ones((m,), jnp.float32),
+        )
+        value = value + qs["value"] / m
+        nabla = nabla + qs["nabla_direct"] / m
+        hess = hess + qs["hess"] / m
+    return {"nabla": nabla, "hess": hess, "value": value}

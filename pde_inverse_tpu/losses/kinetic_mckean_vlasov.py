@@ -348,6 +348,15 @@ def make_loss_fn(
         if closed_form_quadratic:
             return _quadratic_meanfield_stats(Phi, x, v)
         if blockwise_module is not None:
+            from pde_inverse_tpu.losses import fourier_meanfield as fmf
+
+            if fmf.supports(blockwise_module):
+                # Random-Fourier-feature kernel hypothesis: the mean-field
+                # expectations collapse EXACTLY to per-stamp sufficient
+                # statistics — O((n+m)K), no pairwise grid at all
+                # (losses/fourier_meanfield.py; equality-gated against the
+                # generic O(n^2) reduction).
+                return fmf.meanfield_stats(blockwise_module, params, x, v, refs)
             # MXU-shaped blockwise reduction for MLP kernels: first-layer
             # decomposition + fused 2nd-order forward propagation (see
             # losses/pairwise_blockwise.py). Equality-gated against the

@@ -157,10 +157,13 @@ class ConsistencyBased(Method):
                 "closed_form_quadratic" not in kwargs
                 and self.cfg.solver.train.kmv_blockwise
             ):
+                from pde_inverse_tpu.losses import fourier_meanfield as fmf
                 from pde_inverse_tpu.losses import pairwise_blockwise as bw
 
                 model = getattr(self, "_model", None)
-                if model is not None and bw.supports(model):
+                if model is not None and (
+                    bw.supports(model) or fmf.supports(model)
+                ):
                     kwargs["blockwise_module"] = model
                     kwargs["blockwise_rows"] = (
                         self.cfg.solver.train.kmv_blockwise_rows

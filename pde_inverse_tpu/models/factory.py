@@ -19,6 +19,19 @@ def get_model(cfg: Config, pde_instance=None):
     if cfg.estimation_mode == "non-parametric":
         net = cfg.neural_network
         dtype = jnp.bfloat16 if net.dtype == "bfloat16" else jnp.float32
+        if net.model == "fourier-kernel":
+            from pde_inverse_tpu.models.fourier_kernel import FourierKernelModel
+
+            if pde_instance is None:
+                raise ValueError("fourier-kernel model requires a pde_instance")
+            return FourierKernelModel(
+                dim=pde_instance.dim,
+                n_features=net.fourier_features or 256,
+                freq_scale=net.fourier_scale,
+                quadratic_head=net.quadratic_head,
+            )
+        if net.model != "mlp":
+            raise ValueError(f"unknown neural_network.model {net.model!r}")
         if net.n_resblocks > 0:
             return ResNetPotential(
                 hidden_dim=net.hidden_dim,

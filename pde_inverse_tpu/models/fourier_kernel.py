@@ -1,0 +1,90 @@
+"""Random-Fourier-feature interaction kernel with exact mean-field collapse.
+
+Non-parametric hypothesis for the KMV interaction kernel:
+
+    Phi(y) = sum_k [ a_k cos(w_k . y) + b_k sin(w_k . y) ]
+             + 1/2 ||A y||^2 + c . y                      (optional head)
+
+with TRAINABLE frequencies w_k (init N(0, scale^2)), amplitudes (a, b),
+and the PSD-quadratic + linear head that restores non-decaying growth
+(random Fourier features are bounded; smooth shift-invariant kernels are
+universal in this class as K grows — Rahimi & Recht's random-features
+construction, used here as a *parameterized hypothesis*, not an
+approximation of a fixed kernel).
+
+Why this class is the TPU-native answer to the mean-field loss: the
+pairwise argument only enters through phases w_k . (x - r), and the angle
+difference identities
+
+    cos(p - q) = cos p cos q + sin p sin q
+    sin(p - q) = sin p cos q - cos p sin q
+
+factor every mean-field expectation through per-stamp sufficient
+statistics of the refs, S^c_t[k] = E_r cos(w_k . r_t) and S^s_t[k] =
+E_r sin(w_k . r_t):
+
+    E_r Phi(x - r)            =  a.(cx Sc + sx Ss) + b.(sx Sc - cx Ss) + ...
+    E_r grad Phi(x - r)       =  sum_k w_k [ -a_k (sx Sc - cx Ss)
+                                             + b_k (cx Sc + sx Ss) ]_k + ...
+    E_r v^T Hess Phi(x - r) v = -sum_k (w_k . v)^2 [ a_k (cx Sc + sx Ss)
+                                             + b_k (sx Sc - cx Ss) ]_k + ...
+
+(cx = cos(w_k . x), sx = sin(w_k . x)).  Total cost O((n + m) K) in
+K-wide MXU matmuls instead of the O(n m) pairwise grid — the same exact
+collapse the quadratic head enjoys, for a universal kernel class.  See
+losses/fourier_meanfield.py; equality against the generic O(n^2) pairwise
+reduction is gated by tests/test_fourier_kernel.py.
+
+The reference has no analogue: its only non-parametric hypothesis is an
+MLP driven through the full pairwise tensor
+(/root/reference/core/model.py:109-131,
+methods/consistency_instances/kinetic_mckean_vlasov.py:22-48).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from flax.linen import initializers
+
+
+class FourierKernelModel(nn.Module):
+    """Phi(y) = a.cos(y W^T) + b.sin(y W^T) [+ 1/2||A y||^2 + c.y]."""
+
+    dim: int
+    n_features: int = 256
+    freq_scale: float = 1.0
+    quadratic_head: bool = True
+    # amplitude init std; 1/sqrt(K) keeps the initial field O(amp_scale)
+    amp_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        omega = self.param(
+            "omega",
+            initializers.normal(stddev=self.freq_scale),
+            (self.n_features, self.dim),
+            jnp.float32,
+        )
+        amp_std = self.amp_scale / max(1.0, self.n_features) ** 0.5
+        a = self.param(
+            "amp_cos", initializers.normal(stddev=amp_std),
+            (self.n_features,), jnp.float32,
+        )
+        b = self.param(
+            "amp_sin", initializers.normal(stddev=amp_std),
+            (self.n_features,), jnp.float32,
+        )
+        phases = y @ omega.T  # [..., K]
+        value = jnp.cos(phases) @ a + jnp.sin(phases) @ b
+        if self.quadratic_head:
+            A = self.param(
+                "quad_A", initializers.normal(stddev=0.1),
+                (self.dim, self.dim), jnp.float32,
+            )
+            c = self.param(
+                "quad_b", initializers.zeros, (self.dim,), jnp.float32
+            )
+            yf = y.astype(jnp.float32)
+            value = value + 0.5 * jnp.sum((yf @ A.T) ** 2, axis=-1) + yf @ c
+        return value[None] if y.ndim == 1 else value

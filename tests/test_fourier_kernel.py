@@ -1,0 +1,154 @@
+"""Equality gates for the Fourier-kernel hypothesis and its exact
+O((n+m)K) mean-field collapse (models/fourier_kernel.py,
+losses/fourier_meanfield.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_inverse_tpu.config import Config, apply_overrides
+from pde_inverse_tpu.losses import fourier_meanfield as fmf
+from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
+from pde_inverse_tpu.models.fourier_kernel import FourierKernelModel
+from pde_inverse_tpu.ops import autodiff as ad
+from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(23)
+
+
+def _cfg(*extra):
+    return apply_overrides(
+        Config(),
+        [
+            "pde_instance.name=Kinetic-McKean-Vlasov",
+            "pde_instance.domain_dim=2",
+            "pde_instance.total_evolving_time=1",
+            "estimation_mode=non-parametric",
+            "neural_network.model=fourier-kernel",
+            "neural_network.fourier_features=16",
+            "neural_network.quadratic_head=True",
+            "solver.train.sample_mode=grid_time",
+            "solver.train.n_time_stamps=2",
+            "solver.train.sample_per_time=14",
+            "solver.train.batch_size_init=0",
+            "solver.train.batch_size_terminal=0",
+            *extra,
+        ],
+    )
+
+
+def _setup(rng, n=14, nt=2, dim=2, quad=True, K=16):
+    inst = KineticMcKeanVlasovQuadratic(_cfg(), rng)
+    net = FourierKernelModel(dim=dim, n_features=K, quadratic_head=quad)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
+    # non-degenerate amplitudes for a meaningful gate
+    p = dict(params["params"])
+    k1, k2 = jax.random.split(rng)
+    p["amp_cos"] = 0.3 * jax.random.normal(k1, (K,))
+    p["amp_sin"] = 0.3 * jax.random.normal(k2, (K,))
+    params = {"params": p}
+    data = {
+        "0T": inst.sample_ground_truth(rng, (nt, n)),
+        "tau_0T": inst.get_time_sample_ground_truth(rng, (nt, n)),
+    }
+    return inst, net, params, data
+
+
+class TestFourierMeanfield:
+    @pytest.mark.parametrize("quad", [True, False])
+    def test_stats_match_bruteforce_pairwise(self, rng, quad):
+        """Sufficient-statistics collapse == brute-force O(n^2) pairwise
+        means of the SAME Phi."""
+        inst, net, params, data = _setup(rng, quad=quad)
+        x, v = jnp.split(data["0T"], 2, -1)
+        nt = data["tau_0T"].shape[0]
+        d = x.shape[-1]
+        x = x.reshape(-1, nt, d)
+        v = v.reshape(-1, nt, d)
+
+        stats = fmf.meanfield_stats(net, params, x, v, x)
+
+        Phi = lambda y: net.apply(params, y)[0]
+        diff = x[None] - x[:, None]  # [m, n, nt, d]
+        val = ad.batched_value(Phi, diff).mean(0)
+        nab = ad.batched_grad(Phi, diff).mean(0)
+        vv = jnp.broadcast_to(v[None], diff.shape)
+        hes = ad.batched_hvp_quadform(Phi, diff, vv).mean(0)
+        np.testing.assert_allclose(stats["value"], val, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(stats["nabla"], nab, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(stats["hess"], hes, rtol=1e-4, atol=1e-5)
+
+    def test_loss_and_grad_match_generic(self, rng):
+        """Full KMV loss + parameter gradients: collapse vs the generic
+        pairwise reduction on the same FourierKernelModel."""
+        inst, net, params, data = _setup(rng)
+        out_gen = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst
+        )
+        out_fast = kmv_loss.value_and_grad_fn(
+            net.apply, params, data, rng, inst, blockwise_module=net
+        )
+        np.testing.assert_allclose(
+            out_fast["loss"], out_gen["loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            out_fast["loss ground truth"],
+            out_gen["loss ground truth"],
+            rtol=1e-4,
+            atol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_fast["grad"]),
+            jax.tree_util.tree_leaves(out_gen["grad"]),
+        ):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+    def test_method_dispatch_and_training_smoke(self, rng):
+        """ConsistencyBased + factory route neural_network.model=
+        fourier-kernel through the collapse; a short jitted optimization
+        reduces the ground-truth gap."""
+        import optax
+
+        from pde_inverse_tpu.methods import ConsistencyBased
+
+        cfg = _cfg()
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        assert isinstance(net, FourierKernelModel)
+
+        calls = {}
+        orig = fmf.meanfield_stats
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            return orig(*a, **k)
+
+        fmf.meanfield_stats = spy
+        try:
+            out = method.value_and_grad_fn(net.apply, params, rng)
+        finally:
+            fmf.meanfield_stats = orig
+        assert calls.get("hit")
+        assert np.isfinite(float(out["loss"]))
+
+        opt = optax.adam(3e-2)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(p, s, k):
+            out = method.value_and_grad_fn(net.apply, p, k)
+            up, s = opt.update(out["grad"], s, p)
+            return optax.apply_updates(p, up), s, out["loss ground truth"]
+
+        gap0 = None
+        p = params
+        for i in range(60):
+            p, state, gap = step(p, state, jax.random.fold_in(rng, i))
+            if gap0 is None:
+                gap0 = float(gap)
+        assert float(gap) < 0.5 * gap0, (gap0, float(gap))
