@@ -473,7 +473,9 @@ PRESETS = {
         "pde_instance.sample_mode=offline",
         "pde_instance.sample_initial_size=50000",
         "pde_instance.sample_terminal_size=50000",
-        "pde_instance.sample_0T_size=5000",
+        # divisible by the 64 shift-grid groups so the offline KMV weight
+        # oracle takes the grouped path (one eval per (grid, stamp))
+        "pde_instance.sample_0T_size=5120",
         "pde_instance.n_steps_0T=100",
         "pde_instance.total_evolving_time=1",
         "neural_network.hidden_dim=32",
