@@ -157,6 +157,10 @@ class NetworkConfig:
     quadratic_head: bool = False
     # Compute dtype for the MLP hidden path ("float32" | "bfloat16").
     dtype: str = "float32"
+    # fourier-kernel model only: train the frequencies (see
+    # models/fourier_kernel.py for the finite-sample failure mode this
+    # opens; default keeps the classic fixed-random-features setting).
+    fourier_trainable: bool = False
 
 
 @dataclass(frozen=True)

@@ -40,8 +40,14 @@ def meanfield_stats(module, params, x, v, refs):
     """x, v: [n, nt, d]; refs: [m, nt, d].  Returns the same pytree as the
     pairwise paths: {"nabla" [n, nt, d], "hess" [n, nt], "value" [n, nt]}
     (per-stamp means over the refs)."""
+    import jax
+
     p = _unwrap(params)
     omega = p["omega"]  # [K, d]
+    if not module.trainable_frequencies:
+        # consistent with the module's stop_gradient (see
+        # models/fourier_kernel.py on the finite-sample failure mode)
+        omega = jax.lax.stop_gradient(omega)
     a = p["amp_cos"]
     b = p["amp_sin"]
     m = refs.shape[0]

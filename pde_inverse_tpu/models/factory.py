@@ -29,6 +29,7 @@ def get_model(cfg: Config, pde_instance=None):
                 n_features=net.fourier_features or 256,
                 freq_scale=net.fourier_scale,
                 quadratic_head=net.quadratic_head,
+                trainable_frequencies=net.fourier_trainable,
             )
         if net.model != "mlp":
             raise ValueError(f"unknown neural_network.model {net.model!r}")

@@ -44,6 +44,7 @@ methods/consistency_instances/kinetic_mckean_vlasov.py:22-48).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from flax.linen import initializers
 
@@ -57,6 +58,15 @@ class FourierKernelModel(nn.Module):
     quadratic_head: bool = True
     # amplitude init std; 1/sqrt(K) keeps the initial field O(amp_scale)
     amp_scale: float = 0.1
+    # Trainable frequencies let the model move mass to the scales the data
+    # demands, but open a finite-sample failure mode: the weak-form loss's
+    # only quadratic term E||E_r grad Phi||^2 is damped by the law's
+    # characteristic function at high |w|, so amplitudes at large
+    # frequencies ride sampling noise downhill without bound (observed:
+    # |amps| grows linearly, gap diverges).  Decoupled weight decay tames
+    # it; freezing the frequencies (classic random-features setting)
+    # removes the migration channel altogether.
+    trainable_frequencies: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
@@ -66,6 +76,8 @@ class FourierKernelModel(nn.Module):
             (self.n_features, self.dim),
             jnp.float32,
         )
+        if not self.trainable_frequencies:
+            omega = jax.lax.stop_gradient(omega)
         amp_std = self.amp_scale / max(1.0, self.n_features) ** 0.5
         a = self.param(
             "amp_cos", initializers.normal(stddev=amp_std),
