@@ -15,6 +15,7 @@ set -u
 
 LOG="$1"; WATCH="$2"; STALL="$3"; MAX_ATTEMPTS="$4"; shift 4
 [ "$1" = "--" ] && shift
+POLL="${SUPERVISE_POLL:-60}"  # seconds between liveness checks
 
 newest_mtime() {
   # newest mtime (epoch s) across the log and all watch paths; 0 if none
@@ -32,7 +33,7 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   while true; do
-    sleep 60
+    sleep "$POLL"
     if ! kill -0 "$PID" 2>/dev/null; then
       wait "$PID"
       rc=$?
