@@ -69,16 +69,28 @@ def _build(per_time: int = PER_TIME):
     return cfg, inst, method, net, params, opt
 
 
-def _program_flops(jitted, *args) -> float:
-    """Total FLOPs of one execution of the compiled program, from XLA's
-    own cost model (0.0 if the backend doesn't expose it)."""
+def _program_cost(jitted, *args) -> dict:
+    """{"flops", "transcendentals", "bytes_accessed"} of one execution of
+    the compiled program, from XLA's own cost model (zeros if the backend
+    doesn't expose it).  Pallas kernels are custom-calls the XLA cost
+    model cannot see inside, so programs containing them (the np SDE
+    sampler) are UNDERCOUNTED here — docs/ROOFLINE.md carries the
+    analytic per-particle-step op counts for the kernel interior."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):  # older jax returns [dict]
             cost = cost[0] if cost else {}
-        return float(cost.get("flops", 0.0) or 0.0)
+        return {
+            "flops": float(cost.get("flops", 0.0) or 0.0),
+            "transcendentals": float(cost.get("transcendentals", 0.0) or 0.0),
+            "bytes_accessed": float(cost.get("bytes accessed", 0.0) or 0.0),
+        }
     except Exception:
-        return 0.0
+        return {"flops": 0.0, "transcendentals": 0.0, "bytes_accessed": 0.0}
+
+
+def _program_flops(jitted, *args) -> float:
+    return _program_cost(jitted, *args)["flops"]
 
 
 def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
@@ -104,7 +116,9 @@ def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
 
     carry = (params, opt.init(params))
     rngs = jax.random.split(jax.random.PRNGKey(1), chunk)
-    flops_per_step = _program_flops(run_chunk, carry, rngs) / chunk
+    cost = _program_cost(run_chunk, carry, rngs)
+    flops_per_step = cost["flops"] / chunk
+    bench_ours.last_cost_per_step = {k: v / chunk for k, v in cost.items()}
     carry, losses = run_chunk(carry, rngs)  # compile + warmup
     jax.block_until_ready(losses)
 
@@ -210,6 +224,11 @@ def bench_reference_semantics(inst, net, params, opt, n_steps=10):
 # f32, so this is the CONSERVATIVE denominator: f32 MXU peak is half of it,
 # meaning true utilization is up to 2x the reported MFU.
 _PEAK_FLOPS_V5E_BF16 = 197e12
+# HBM bandwidth of one v5e chip. For bandwidth-bound programs (elementwise
+# sampling / weak-form reductions), bytes/s vs this peak — not MFU — is the
+# utilization axis that reflects how close the program is to its roofline
+# (docs/ROOFLINE.md).
+_PEAK_HBM_BYTES_V5E = 819e9
 
 
 def bench_np_step(n_steps=60, chunk=20, windows=3):
@@ -247,7 +266,7 @@ def bench_np_step(n_steps=60, chunk=20, windows=3):
         if flops_per_step
         else None
     )
-    return rate, rates, flops_per_step, mfu
+    return rate, rates, flops_per_step, mfu, bench_ours.last_cost_per_step
 
 
 def main():
@@ -293,7 +312,7 @@ def main():
     # compute-bound production row: non-parametric KGMM online step.
     # Never let the extra rows break the driver's single-line contract.
     try:
-        np_rate, np_windows, np_flops, np_mfu = bench_np_step()
+        np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step()
         result["np"] = {
             "metric": "KGMM non-parametric online step (Run-E geometry)",
             "steps_per_sec": round(np_rate, 3),
@@ -301,6 +320,17 @@ def main():
             "ms_per_step": round(1e3 / np_rate, 2),
             "flops_per_step": np_flops or None,
             "mfu": np_mfu,
+            # XLA-visible traffic/op mix (Pallas kernel interior excluded —
+            # see docs/ROOFLINE.md for its analytic counts):
+            "transcendentals_per_step": np_cost["transcendentals"] or None,
+            "bytes_accessed_per_step": np_cost["bytes_accessed"] or None,
+            "hbm_bw_util": (
+                float(
+                    f"{np_cost['bytes_accessed'] * np_rate / _PEAK_HBM_BYTES_V5E:.3g}"
+                )
+                if np_cost["bytes_accessed"]
+                else None
+            ),
         }
     except Exception as e:  # pragma: no cover
         result["np"] = {"error": f"{type(e).__name__}: {e}"[:200]}
