@@ -44,9 +44,12 @@ def make_loss_fn(forward_fn, data, pde_instance):
         the same batched gradients as the loss (the reference pays a second
         full pass for it every step, kinetic_fokker_planck.py:52-58)."""
         V = lambda x: forward_fn(params, x)[0]
-        nabla_0T = ad.batched_grad(V, x_0T)
+        # one forward-over-reverse pass yields BOTH the gradient (primal)
+        # and the Hessian quadform (tangent) — a separate batched_grad
+        # pass would redo the full reverse sweep over the 0T batch
+        nabla_0T, quad_0T = ad.batched_grad_and_hvp_quadform(V, x_0T, v_0T)
         loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
-        loss_hessian = jnp.mean(ad.batched_hvp_quadform(V, x_0T, v_0T))
+        loss_hessian = jnp.mean(quad_0T)
         loss_friction = gamma * jnp.mean(jnp.sum(nabla_0T * v_0T, axis=-1))
 
         def boundary(x, v):

@@ -372,11 +372,13 @@ def make_loss_fn(
 
         def stats_flat(params_l, diff_flat, v_flat):
             Phi_l = lambda xi: forward_fn(params_l, xi)[0]
-            return {
-                "nabla": ad.batched_grad(Phi_l, diff_flat),  # [C, d]
-                "hess": ad.batched_hvp_quadform(Phi_l, diff_flat, v_flat),  # [C]
-                "value": ad.batched_value(Phi_l, diff_flat),  # [C]
-            }
+            # one fused forward-over-reverse pass: value (primal of the
+            # forward), gradient (primal of the reverse), and Hessian
+            # quadform (tangent) — three separate batched sweeps before
+            val, nabla, hess = ad.batched_value_grad_hvp_quadform(
+                Phi_l, diff_flat, v_flat
+            )
+            return {"nabla": nabla, "hess": hess, "value": val}
 
         return _pairwise_stats(
             stats_flat, x, v, refs, ref_chunk, mesh_spec, params=params

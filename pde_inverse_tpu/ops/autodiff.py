@@ -58,6 +58,41 @@ def batched_hvp_quadform(f: Callable, x: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return q(x, v)
 
 
+def batched_grad_and_hvp_quadform(
+    f: Callable, x: jnp.ndarray, v: jnp.ndarray
+):
+    """(grad f(x) [..., d], v^T H_f(x) v [...]) in ONE forward-over-reverse
+    pass: the jvp-of-grad primal output IS the gradient, so callers needing
+    both (the weak-form losses use grad for the ||grad V||^2 and friction
+    terms and the quadform for the Hessian term) get the gradient for free
+    instead of paying a second reverse pass over the batch."""
+
+    def one(xi, vi):
+        g, hv = jax.jvp(jax.grad(f), (xi,), (vi,))
+        return g, jnp.dot(vi, hv)
+
+    for _ in range(x.ndim - 1):
+        one = jax.vmap(one)
+    return one(x, v)
+
+
+def batched_value_grad_hvp_quadform(
+    f: Callable, x: jnp.ndarray, v: jnp.ndarray
+):
+    """(f(x) [...], grad f(x) [..., d], v^T H_f(x) v [...]) in one
+    forward-over-reverse pass over jax.value_and_grad — the pairwise KMV
+    statistics need all three per pair and previously paid three separate
+    batched sweeps."""
+
+    def one(xi, vi):
+        (val, g), (_, hv) = jax.jvp(jax.value_and_grad(f), (xi,), (vi,))
+        return val, g, jnp.dot(vi, hv)
+
+    for _ in range(x.ndim - 1):
+        one = jax.vmap(one)
+    return one(x, v)
+
+
 def batched_laplacian(f: Callable, x: jnp.ndarray) -> jnp.ndarray:
     """Exact Laplacian tr(H_f(x)) at a batch of points, [n, d] -> [n].
 

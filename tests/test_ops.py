@@ -32,6 +32,22 @@ class TestAutodiff:
         x = jax.random.normal(rng, (3, 4, 2, 6))
         np.testing.assert_allclose(ad.batched_grad(f, x), jnp.cos(x), rtol=1e-6)
 
+    def test_fused_grad_hvp_matches_separate(self, rng):
+        """The fused one-pass variants must agree with the separate
+        batched sweeps they replace in the weak-form losses."""
+        f = lambda x: jnp.sum(jnp.sin(x)) + 0.5 * jnp.sum(x**2) * x[0]
+        x = jax.random.normal(rng, (9, 5))
+        v = jax.random.normal(jax.random.fold_in(rng, 1), (9, 5))
+        g, q = ad.batched_grad_and_hvp_quadform(f, x, v)
+        np.testing.assert_allclose(g, ad.batched_grad(f, x), rtol=1e-6)
+        np.testing.assert_allclose(
+            q, ad.batched_hvp_quadform(f, x, v), rtol=1e-5
+        )
+        val, g3, q3 = ad.batched_value_grad_hvp_quadform(f, x, v)
+        np.testing.assert_allclose(val, ad.batched_value(f, x), rtol=1e-6)
+        np.testing.assert_allclose(g3, g, rtol=1e-6)
+        np.testing.assert_allclose(q3, q, rtol=1e-5)
+
     def test_batched_laplacian_matches_trace_hessian(self, rng):
         d = 4
         f = lambda x: jnp.sum(x**3) + jnp.prod(x)
