@@ -138,7 +138,7 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     axb = ax_ref[0]  # [bi, w0]
     avb = av_ref[0]
     arb = ar_ref[0]  # [bj, w0]
-    mk = mask_ref[0]  # [bj] f32
+    mk = mask_ref[...]  # [bj, 1] f32 column (2-D: Mosaic-canonical layout)
     bi, w0 = axb.shape
     bj = arb.shape[0]
 
@@ -157,26 +157,31 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
         dz = _dot(dh, W).astype(compute_dtype)
         d2z = _dot(d2h, W).astype(compute_dtype)
 
-    # squared-feature head (f32 reductions)
-    zf = z.astype(jnp.float32)
-    dzf = dz.astype(jnp.float32)
-    d2zf = (jnp.zeros_like(zf) if d2z is None else d2z).astype(jnp.float32)
-    f = jnp.sum(zf * zf, axis=-1)  # [bj*bi]
-    d2f = 2.0 * jnp.sum(dzf * dzf + zf * d2zf, axis=-1)
+    # squared-feature head (f32 reductions, kept 2-D [bj, bi] — minor-axis
+    # sums on the 3-D view avoid 1-D intermediates)
+    zf = z.astype(jnp.float32).reshape(bj, bi, -1)
+    dzf = dz.astype(jnp.float32).reshape(bj, bi, -1)
+    d2zf = (
+        jnp.zeros_like(zf) if d2z is None else d2z.astype(jnp.float32).reshape(bj, bi, -1)
+    )
+    f2d = jnp.sum(zf * zf, axis=-1)  # [bj, bi]
+    d2f2d = 2.0 * jnp.sum(dzf * dzf + zf * d2zf, axis=-1)
 
     # backward sweep to the first-layer cotangent
-    delta = (2.0 * zf).astype(compute_dtype)
+    delta = (2.0 * zf.reshape(bj * bi, -1)).astype(compute_dtype)
     for k in reversed(range(n_mid)):
         W = cd(w_refs[2 * k][...])
         _, d1, _ = act(preacts[k])
         delta = (_dot_t(delta, W) * d1).astype(compute_dtype)
 
-    # masked sums over the ref axis of the tile
-    mk2 = jnp.broadcast_to(mk[:, None], (bj, bi))
-    val_c = jnp.sum(mk2 * f.reshape(bj, bi), axis=0)  # [bi]
-    hess_c = jnp.sum(mk2 * d2f.reshape(bj, bi), axis=0)
-    dz0_m = delta.astype(jnp.float32) * mk2.reshape(bj * bi, 1)
-    dz0_c = jnp.sum(dz0_m.reshape(bj, bi, w0), axis=0)  # [bi, w0]
+    # masked sums over the ref axis of the tile (mask stays a [bj, 1]
+    # column: minor-dim broadcast, the canonical TPU pattern)
+    mk2 = jnp.broadcast_to(mk, (bj, bi))
+    val_c = jnp.sum(mk2 * f2d, axis=0)  # [bi]
+    hess_c = jnp.sum(mk2 * d2f2d, axis=0)
+    dz0_c = jnp.sum(
+        delta.astype(jnp.float32).reshape(bj, bi, w0) * mk[:, :, None], axis=0
+    )  # [bi, w0]
 
     @pl.when(j == 0)
     def _():
@@ -240,7 +245,7 @@ def mlp_pairwise_sums(
     if m_pad != m:
         ar = jnp.pad(ar, ((0, 0), (0, m_pad - m), (0, 0)))
         mask = jnp.pad(mask, (0, m_pad - m))
-    mask2 = mask[None, :]  # [1, m_pad]
+    mask2 = mask[:, None]  # [m_pad, 1] column
 
     grid = (nt, n_pad // bi, m_pad // bj)
 
@@ -248,14 +253,14 @@ def mlp_pairwise_sums(
         pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),
         pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),
         pl.BlockSpec((1, bj, w0), lambda t, i, j: (t, j, 0)),
-        pl.BlockSpec((1, bj), lambda t, i, j: (0, j)),
+        pl.BlockSpec((bj, 1), lambda t, i, j: (j, 0)),
     ]
     args = [ax, av, ar, mask2]
     for W, b in mids:
         in_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
         args.append(W)
-        in_specs.append(pl.BlockSpec((b.shape[0],), lambda t, i, j: (0,)))
-        args.append(b)
+        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
+        args.append(b.reshape(1, -1))
 
     out_shape = [
         jax.ShapeDtypeStruct((nt, n_pad), jnp.float32),
@@ -326,9 +331,9 @@ def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     axb = ax_ref[0]
     avb = av_ref[0]
     arb = ar_ref[0]
-    mk = mask_ref[0]  # [bj]
-    gv = gval_ref[0]  # [bi]
-    gh = ghess_ref[0]  # [bi]
+    mk = mask_ref[...]  # [bj, 1] column
+    gv = gval_ref[...]  # [1, bi]
+    gh = ghess_ref[...]  # [1, bi]
     gr = gdz0_ref[0]  # [bi, w0]
     bi, w0 = axb.shape
     bj = arb.shape[0]
@@ -354,18 +359,21 @@ def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
         q = _dot(hq, W).astype(compute_dtype)
         r = _dot(hr, W).astype(compute_dtype)
 
-    # head cotangents of S (mask folded in per pair row)
-    zf = z.astype(jnp.float32)
-    pf = p.astype(jnp.float32)
-    qf = q.astype(jnp.float32)
-    rf = r.astype(jnp.float32)
-    mrow = jnp.broadcast_to(mk[:, None], (bj, bi)).reshape(R, 1)
-    gvrow = jnp.broadcast_to(gv[None, :], (bj, bi)).reshape(R, 1) * mrow
-    ghrow = jnp.broadcast_to(gh[None, :], (bj, bi)).reshape(R, 1) * mrow
-    zbar = 2.0 * gvrow * zf + 2.0 * ghrow * qf + 2.0 * mrow * rf
-    pbar = 4.0 * ghrow * pf
-    qbar = 2.0 * ghrow * zf
-    rbar = 2.0 * mrow * zf
+    # head cotangents of S: per-row (mask, g_val, g_hess) scalars applied
+    # on the 3-D [bj, bi, w] view via size-1-axis broadcasts (no [R, 1]
+    # column reshapes of lane-major tiles)
+    w_last = z.shape[-1]
+    z3 = z.astype(jnp.float32).reshape(bj, bi, w_last)
+    p3 = p.astype(jnp.float32).reshape(bj, bi, w_last)
+    q3 = q.astype(jnp.float32).reshape(bj, bi, w_last)
+    r3 = r.astype(jnp.float32).reshape(bj, bi, w_last)
+    mk3 = mk[:, :, None]  # [bj, 1, 1]
+    gv3 = gv[:, :, None] * mk3  # [bj, bi, 1]
+    gh3 = gh[:, :, None] * mk3
+    zbar = (2.0 * gv3 * z3 + 2.0 * gh3 * q3 + 2.0 * mk3 * r3).reshape(R, w_last)
+    pbar = (4.0 * gh3 * p3).reshape(R, w_last)
+    qbar = (2.0 * gh3 * z3).reshape(R, w_last)
+    rbar = (2.0 * mk3 * z3).reshape(R, w_last)
 
     # reverse sweep with in-kernel weight-gradient accumulation
     zbar = zbar.astype(compute_dtype)
@@ -390,7 +398,7 @@ def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
         wbar = (
             wcon(h, zbar) + wcon(hp, pbar) + wcon(hq, qbar) + wcon(hr, rbar)
         )
-        bbar = jnp.sum(zbar.astype(jnp.float32), axis=0)
+        bbar = jnp.sum(zbar.astype(jnp.float32), axis=0, keepdims=True)
 
         @pl.when(first_cell)
         def _(k=k, wbar=wbar, bbar=bbar):
@@ -475,7 +483,7 @@ def mlp_pairwise_sums_bwd(
     if m_pad != m:
         ar = jnp.pad(ar, ((0, 0), (0, m_pad - m), (0, 0)))
         mask = jnp.pad(mask, (0, m_pad - m))
-    mask2 = mask[None, :]
+    mask2 = mask[:, None]  # [m_pad, 1] column
     n_blk_i = n_pad // bi
 
     grid = (nt, n_blk_i, m_pad // bj)
@@ -483,7 +491,7 @@ def mlp_pairwise_sums_bwd(
         pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # ax
         pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # av
         pl.BlockSpec((1, bj, w0), lambda t, i, j: (t, j, 0)),  # ar
-        pl.BlockSpec((1, bj), lambda t, i, j: (0, j)),  # mask
+        pl.BlockSpec((bj, 1), lambda t, i, j: (j, 0)),  # mask
         pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_val
         pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_hess
         pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # g_dz0
@@ -492,16 +500,16 @@ def mlp_pairwise_sums_bwd(
     for W, b in mids:
         in_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
         args.append(W)
-        in_specs.append(pl.BlockSpec((b.shape[0],), lambda t, i, j: (0,)))
-        args.append(b)
+        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
+        args.append(b.reshape(1, -1))
 
     out_shape = []
     out_specs = []
     for W, b in mids:  # weight grads: constant-index accumulators
         out_shape.append(jax.ShapeDtypeStruct(W.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec((b.shape[0],), lambda t, i, j: (0,)))
+        out_shape.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
     out_specs.append(pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
@@ -526,7 +534,7 @@ def mlp_pairwise_sums_bwd(
     )(*args)
 
     mids_bar = [
-        (outs[2 * k], outs[2 * k + 1]) for k in range(n_mid)
+        (outs[2 * k], outs[2 * k + 1].reshape(-1)) for k in range(n_mid)
     ]
     ax_bar = outs[2 * n_mid][:, :n]
     av_bar = outs[2 * n_mid + 1][:, :n]
