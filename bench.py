@@ -231,7 +231,7 @@ _PEAK_FLOPS_V5E_BF16 = 197e12
 _PEAK_HBM_BYTES_V5E = 819e9
 
 
-def bench_np_step(n_steps=60, chunk=20, windows=3):
+def bench_np_step(n_steps=60, chunk=20, windows=3, kfp_fused="auto"):
     """Compute-bound production row: the online KGMM NON-PARAMETRIC step at
     the Run-E recipe geometry (400-step BAOAB SDE sampling through the
     Pallas Langevin kernel + Fourier-MLP weak-form loss on a 10k-trajectory
@@ -251,6 +251,7 @@ def bench_np_step(n_steps=60, chunk=20, windows=3):
             "solver.train.batch_size_0T=10000",
             "pde_instance.n_steps=400",
             "train.optimizer.weight_decay=0.0",
+            f"solver.train.kfp_fused={kfp_fused}",
         ],
     )
     rng = jax.random.PRNGKey(0)
@@ -312,9 +313,21 @@ def main():
     # compute-bound production row: non-parametric KGMM online step.
     # Never let the extra rows break the driver's single-line contract.
     try:
-        np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step()
+        # default engages the fused pointwise Pallas provider
+        # (solver.train.kfp_fused=auto on TPU); if its first on-chip
+        # exercise fails, fall back to the autodiff path so the row still
+        # reports the production step.
+        try:
+            np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step()
+            fused_note = "auto"
+        except Exception as e:
+            np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step(
+                kfp_fused="off"
+            )
+            fused_note = f"off ({type(e).__name__} under auto)"
         result["np"] = {
             "metric": "KGMM non-parametric online step (Run-E geometry)",
+            "kfp_fused": fused_note,
             "steps_per_sec": round(np_rate, 3),
             "steps_per_sec_windows": np_windows,
             "ms_per_step": round(1e3 / np_rate, 2),

@@ -114,6 +114,14 @@ class SolverTrainConfig:
     # kernels (no Fourier front end), "on" forces it (interpret mode off
     # TPU), "off" keeps the pure-XLA blockwise formulation.
     kmv_pallas: str = "auto"
+    # Fused per-point {grad V, v^T Hess V v} provider for the kinetic
+    # Fokker-Planck weak-form loss (losses/fused_pointwise.py +
+    # ops/pallas/pointwise_kernel.py): "auto" runs the VMEM-resident
+    # Pallas pass on TPU for PotentialMLP hypotheses and the autodiff path
+    # elsewhere; "on" forces both kernels, "fwd" kernels the forward only
+    # (jnp-mirror VJP), "xla" uses the hand-rolled jnp stream formulation,
+    # "off" keeps the generic autodiff path everywhere.
+    kfp_fused: str = "auto"
     # Trajectories per step for the host-streaming offline loader
     # (pde_instance.offline_streaming=True).  The in-jit offline policy
     # takes a fixed 1/5 of ALL trajectories per step (reference parity,

@@ -27,7 +27,14 @@ def _split_xv(z: jnp.ndarray):
     return jnp.split(z, 2, axis=-1)
 
 
-def make_loss_fn(forward_fn, data, pde_instance):
+def make_loss_fn(
+    forward_fn,
+    data,
+    pde_instance,
+    fused_module=None,
+    fused_mode: str = "auto",
+    mesh_spec=None,
+):
     """Returns (loss_fn(params), aux_fn(params)) closures over data."""
     x_init, v_init = _split_xv(data["initial"])
     x_term, v_term = _split_xv(data["terminal"])
@@ -38,6 +45,12 @@ def make_loss_fn(forward_fn, data, pde_instance):
     nabla_V_true = ad.batched_grad(pde_instance.V_true_fn, x_0T)
     loss_nabla_true = jnp.mean(jnp.sum(nabla_V_true**2, axis=-1))
 
+    use_fused = fused_module is not None and fused_mode != "off"
+    if use_fused:
+        from pde_inverse_tpu.losses import fused_pointwise as fp
+
+        use_fused = fp.active(fused_mode) and fp.supported(fused_module)
+
     def loss_fn(params):
         """Returns (loss, gap) where gap = E||grad V_true - grad V||^2 on
         the path batch — the de-facto accuracy diagnostic, computed from
@@ -46,8 +59,25 @@ def make_loss_fn(forward_fn, data, pde_instance):
         V = lambda x: forward_fn(params, x)[0]
         # one forward-over-reverse pass yields BOTH the gradient (primal)
         # and the Hessian quadform (tangent) — a separate batched_grad
-        # pass would redo the full reverse sweep over the 0T batch
-        nabla_0T, quad_0T = ad.batched_grad_and_hvp_quadform(V, x_0T, v_0T)
+        # pass would redo the full reverse sweep over the 0T batch.  For
+        # PotentialMLP hypotheses the fused provider runs the whole sweep
+        # as a VMEM-resident Pallas pass (losses/fused_pointwise.py);
+        # solver.train.kfp_fused gates it.
+        if use_fused:
+            from pde_inverse_tpu.losses import fused_pointwise as fp
+
+            nabla_0T, quad_0T = fp.grad_and_quadform(
+                fused_module,
+                params,
+                x_0T,
+                v_0T,
+                mode=fused_mode,
+                mesh_spec=mesh_spec,
+            )
+        else:
+            nabla_0T, quad_0T = ad.batched_grad_and_hvp_quadform(
+                V, x_0T, v_0T
+            )
         loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
         loss_hessian = jnp.mean(quad_0T)
         loss_friction = gamma * jnp.mean(jnp.sum(nabla_0T * v_0T, axis=-1))
@@ -70,8 +100,24 @@ def make_loss_fn(forward_fn, data, pde_instance):
     return loss_fn
 
 
-def value_and_grad_fn(forward_fn, params, data, rng, pde_instance, mesh_spec=None):
-    loss_fn = make_loss_fn(forward_fn, data, pde_instance)
+def value_and_grad_fn(
+    forward_fn,
+    params,
+    data,
+    rng,
+    pde_instance,
+    mesh_spec=None,
+    fused_module=None,
+    fused_mode: str = "auto",
+):
+    loss_fn = make_loss_fn(
+        forward_fn,
+        data,
+        pde_instance,
+        fused_module=fused_module,
+        fused_mode=fused_mode,
+        mesh_spec=mesh_spec,
+    )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {
         "loss": loss,

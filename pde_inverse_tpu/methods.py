@@ -149,6 +149,13 @@ class ConsistencyBased(Method):
         else:
             data = self.sample_data(rng_sample, dataset=dataset)
         kwargs = {}
+        if self.cfg.pde_instance.name == "Kinetic-Fokker-Planck":
+            from pde_inverse_tpu.losses import fused_pointwise as fp
+
+            model = getattr(self, "_model", None)
+            if model is not None and fp.supported(model):
+                kwargs["fused_module"] = model
+                kwargs["fused_mode"] = self.cfg.solver.train.kfp_fused
         if self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov":
             if self._kmv_closed_form():
                 kwargs["closed_form_quadratic"] = True
