@@ -45,9 +45,12 @@ import jax.numpy as jnp
 
 # Pair rows (= ref_chunk * n * nt) of width-`hidden` work per scan step of
 # the blockwise reduction.  Each live [rows, 128] f32 buffer is rows*512
-# bytes; the remat'd chunk body keeps a handful live, so 1<<18 rows stays
-# well under ~1 GB while keeping every matmul MXU-saturating.
-_ROWS_PER_CHUNK = 1 << 18
+# bytes; the remat'd chunk body keeps a handful live (~1 GB at 1<<20).
+# Bigger chunks also mean FEWER scan steps, which bounds the backward's
+# per-step carry snapshots (grad-of-scan saves the carry each step: at
+# 7x5000 the old 1<<18 default made ~715 steps x ~5 MB carry ≈ 3.4 GB of
+# saves — a suspected contributor to the round-3 P2 TPU-worker crash).
+_ROWS_PER_CHUNK = 1 << 20
 
 
 def supports(module) -> bool:
@@ -128,8 +131,8 @@ def _tile_stats(layers, act, dtype, ax, ar_c, av, px, pr_c, pv, mask_c):
     ax/av: [n, nt, w0] first-layer linear projections of points/velocities
     (ax includes the bias); ar_c: [c, nt, w0] of the ref chunk; px/pv/pr_c:
     Fourier phases (or None); mask_c: [c] validity.  Returns per-point SUMS
-    over the chunk: {"value" [n,nt], "hess" [n,nt], "s_dz0" [n,nt,w0],
-    "s_dproj" [n,nt,nf]?}.
+    over the chunk, FLAT (scan-carry-safe layouts): {"value" [n*nt],
+    "hess" [n*nt], "s_dz0" [n*nt, w0], "s_dproj" [n*nt, nf]?}.
     """
     (W0, b0), mids = layers[0], layers[1:]
     c = ar_c.shape[0]
@@ -181,10 +184,22 @@ def _tile_stats(layers, act, dtype, ax, ar_c, av, px, pr_c, pv, mask_c):
         delta = (delta @ cd(W).T) * da
 
     w_mask = mask_c.astype(jnp.float32)
+    N = n * nt
 
-    def msum(t):  # masked sum over the chunk axis -> [n, nt, ...]
-        t = t.reshape((c, n, nt) + t.shape[1:]).astype(jnp.float32)
-        return jnp.tensordot(w_mask, t, axes=(0, 0))
+    def msum(t):
+        """Masked sum over the chunk axis, FLAT output ([N] / [N, w]).
+
+        Kept 2-D throughout — `[c, N*w]` reshape + axis-0 sum instead of a
+        `[c, n, nt, w]` tensordot — because these sums are the `lax.scan`
+        carry of the blockwise reduction and 3-D carries with tiny
+        trailing dims are a documented compile/crash trap on this backend
+        (CLAUDE.md; the round-3 P2 probe crashed the TPU worker)."""
+        t = t.astype(jnp.float32)
+        if t.ndim == 1:  # [c*N]
+            return jnp.tensordot(w_mask, t.reshape(c, N), axes=(0, 0))
+        w = t.shape[-1]
+        masked = t * jnp.repeat(w_mask, N)[:, None]
+        return jnp.sum(masked.reshape(c, N * w), axis=0).reshape(N, w)
 
     out = {"value": msum(f), "hess": msum(d2f), "s_dz0": msum(delta)}
     if trig is not None:
@@ -294,7 +309,12 @@ def mlp_pairwise_stats(
             else (ar_p[1:], mask_p[1:], pr_p[1:])
         )
         sums, _ = jax.lax.scan(body, init, xs)
-        return sums
+        # un-flatten the scan-safe carry to the public [n, nt(, w)] shapes
+        # (n from the operand: inside shard_map the data axis is LOCAL)
+        n_l = x_l.shape[0]
+        return {
+            k: v.reshape((n_l, nt) + v.shape[1:]) for k, v in sums.items()
+        }
 
     def pallas_local_sums_impl(params_l, x_l, v_l, refs_l, valid_l):
         """Forward tile reduction on the Pallas kernel (VMEM-resident layer

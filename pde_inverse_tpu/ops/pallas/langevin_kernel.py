@@ -120,30 +120,67 @@ def _kernel(
     random_phase: bool,
     noise_scale: float,
     integrator: str,
+    pack: int = 1,
 ):
+    """pack > 1: the grid cell's z block holds `pack` independent
+    particle sub-blocks side by side on the lane axis, and the update
+    runs on sublane-packed [pack*d, B] tiles (see `_pack_rows`): a
+    [4, B] f32 op occupies the same issue slots as an [8, B] op at half
+    the work, so packing doubles elementwise/PRNG work per slot for
+    d=4 (×4 for d=2).  Only the per-sub-block GMM energy/softmax
+    reductions split back to [d, B] slices (ROOFLINE §2)."""
     *param_refs, final_ref, traj_ref, tau_ref = rest
     grad_fn = lambda q: grad_fn_raw(q, *param_refs)
 
     # one independent stream per particle block
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    q = z0_ref[:d, :]
-    p = z0_ref[d:, :]
-    B = q.shape[1]
-
-    if random_phase:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
-        tau0 = _uniform_from_bits(bits) * dt  # (0, dt]; matches U[0,dt) a.s.
+    if pack > 1:
+        Bc = z0_ref.shape[1]
+        B = Bc // pack
+        sub = lambda t, j: t[:, j * B : (j + 1) * B]
+        q = jnp.concatenate(
+            [sub(z0_ref[:d, :], j) for j in range(pack)], axis=0
+        )
+        p = jnp.concatenate(
+            [sub(z0_ref[d:, :], j) for j in range(pack)], axis=0
+        )
+        grad_unpacked = grad_fn
+        grad_fn = lambda qp: jnp.concatenate(
+            [grad_unpacked(qp[j * d : (j + 1) * d, :]) for j in range(pack)],
+            axis=0,
+        )
     else:
-        tau0 = jnp.zeros((1, B), jnp.float32)
-    tau_ref[:, :] = tau0
+        q = z0_ref[:d, :]
+        p = z0_ref[d:, :]
+        B = q.shape[1]
+
+    rows = pack * d
+    cell_w = pack * B
+    if random_phase:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, cell_w)), jnp.uint32)
+        tau_cell = _uniform_from_bits(bits) * dt  # (0, dt]; matches U[0,dt) a.s.
+    else:
+        tau_cell = jnp.zeros((1, cell_w), jnp.float32)
+    tau_ref[:, :] = tau_cell
+    if pack > 1:
+        # [rows, B]: sub-block j's tau broadcast over its d rows
+        tau0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(tau_cell[:, j * B : (j + 1) * B], (d, B))
+                for j in range(pack)
+            ],
+            axis=0,
+        )
+    else:
+        tau0 = tau_cell
 
     def draw(shape):
         return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
 
     def em_step(q, p, g, step_dt):
-        # step_dt: scalar or [1, B] (broadcasts over the d axis); g unused
-        noise = draw((d, B))
+        # step_dt: scalar or [rows, B]/[1, B] (broadcasts); g unused
+        noise = draw((rows, B))
         p_new = (
             p
             - step_dt * grad_fn(q)
@@ -165,36 +202,50 @@ def _kernel(
             c2 = jnp.sqrt((1.0 - c1 * c1) / gamma)
         else:
             c1, c2 = 1.0, jnp.sqrt(2.0 * step_dt)
-        p = c1 * p + c2 * draw((d, B))
+        p = c1 * p + c2 * draw((rows, B))
         q = q + half * p
         g = grad_fn(q)
         p = p - half * g
         return q, p, g
 
     step = baoab if integrator == "baoab" else em_step
-    g = grad_fn(q) if integrator == "baoab" else jnp.zeros((d, B), q.dtype)
+    g = grad_fn(q) if integrator == "baoab" else jnp.zeros((rows, B), q.dtype)
+
+    def write_traj(i, q, p):
+        if pack > 1:
+            for j in range(pack):
+                sl = slice(j * B, (j + 1) * B)
+                traj_ref[i, :d, sl] = q[j * d : (j + 1) * d, :]
+                traj_ref[i, d:, sl] = p[j * d : (j + 1) * d, :]
+        else:
+            traj_ref[i, :d, :] = q
+            traj_ref[i, d:, :] = p
 
     # phase step onto the first grid time tau0
     q, p, g = step(q, p, g, tau0)
 
     if with_trajectory:
-        traj_ref[0, :d, :] = q
-        traj_ref[0, d:, :] = p
+        write_traj(0, q, p)
 
     def body(i, carry):
         q, p, g = carry
         q, p, g = step(q, p, g, dt)
         if with_trajectory:
-            traj_ref[i, :d, :] = q
-            traj_ref[i, d:, :] = p
+            write_traj(i, q, p)
         return q, p, g
 
     q, p, g = jax.lax.fori_loop(1, n_steps, body, (q, p, g))
 
     # closing partial step lands exactly on n_steps * dt
     q, p, _ = step(q, p, g, dt - tau0)
-    final_ref[:d, :] = q
-    final_ref[d:, :] = p
+    if pack > 1:
+        for j in range(pack):
+            sl = slice(j * B, (j + 1) * B)
+            final_ref[:d, sl] = q[j * d : (j + 1) * d, :]
+            final_ref[d:, sl] = p[j * d : (j + 1) * d, :]
+    else:
+        final_ref[:d, :] = q
+        final_ref[d:, :] = p
 
 
 def langevin_pallas(
@@ -210,29 +261,42 @@ def langevin_pallas(
     block: int = DEFAULT_BLOCK,
     interpret=False,
     integrator: str = "euler",
+    pack: int = 1,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Drop-in analogue of ops.langevin.simulate_kinetic_langevin with a
     Pallas core.  z0: [n, 2d]; seed: int32 scalar (one PRNG stream per
     particle block).  Returns (final [n, 2d], trajectory [n, n_steps, 2d]
-    or None, taus [n, n_steps] or None)."""
+    or None, taus [n, n_steps] or None).
+
+    pack > 1 runs `pack` independent `block`-particle sub-blocks per grid
+    cell on sublane-packed [pack*d, block] tiles (ROOFLINE §2: the kernel
+    is issue-throughput-bound and d<8 tiles underfill sublanes, so
+    packing raises work per issue slot ~pack-fold on the elementwise/PRNG
+    portion).  Sensible values: 8 // d.  The PRNG stream mapping differs
+    from pack=1 (same distribution; per-seed draws are not comparable
+    across pack settings)."""
     n, two_d = z0.shape
     d = two_d // 2
     dt = float(dt)
+    pack = max(1, int(pack))
     if interpret is True:
         # plain interpret mode lacks the TPU PRNG primitives; use the TPU
         # interpreter (works on CPU — the test-suite path)
         interpret = pltpu.InterpretParams()
 
+    cell = pack * block
     if return_trajectory:
-        # keep the per-block trajectory buffer within ~8 MB of VMEM
+        # keep the per-cell trajectory buffer within ~8 MB of VMEM
         budget = 8 * 1024 * 1024 // (n_steps * two_d * 4)
-        block = max(128, min(block, (budget // 128) * 128))
+        cell = max(128, min(cell, (budget // 128) * 128))
+        block = max(128 // pack, cell // pack)
+        cell = pack * block
     # (measured on v5e: block 512 vs 8192 is within 10% for the
     # no-trajectory path — the sequential grid is not the bottleneck —
     # so one default block serves both paths)
 
-    # lane layout + pad the particle axis to a block multiple
-    n_pad = -(-n // block) * block
+    # lane layout + pad the particle axis to a cell multiple
+    n_pad = -(-n // cell) * cell
     zT = jnp.zeros((two_d, n_pad), z0.dtype).at[:, :n].set(z0.T)
 
     param_arrays, grad_fn = _grad_fn_lane_layout(potential)
@@ -247,13 +311,14 @@ def langevin_pallas(
         random_phase=random_phase,
         noise_scale=noise_scale,
         integrator=integrator,
+        pack=pack,
     )
 
-    grid = (n_pad // block,)
+    grid = (n_pad // cell,)
     traj_shape = (
         jax.ShapeDtypeStruct((n_steps, two_d, n_pad), z0.dtype)
         if return_trajectory
-        else jax.ShapeDtypeStruct((1, two_d, block), z0.dtype)  # dummy
+        else jax.ShapeDtypeStruct((1, two_d, cell), z0.dtype)  # dummy
     )
     out_shape = (
         jax.ShapeDtypeStruct((two_d, n_pad), z0.dtype),  # final
@@ -262,13 +327,13 @@ def langevin_pallas(
     )
     traj_spec = (
         pl.BlockSpec(
-            (n_steps, two_d, block),
+            (n_steps, two_d, cell),
             lambda i: (0, 0, i),
             memory_space=pltpu.VMEM,
         )
         if return_trajectory
         else pl.BlockSpec(
-            (1, two_d, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (1, two_d, cell), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
     )
 
@@ -283,13 +348,13 @@ def langevin_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((two_d, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_d, cell), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
         out_specs=(
-            pl.BlockSpec((two_d, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_d, cell), lambda i: (0, i), memory_space=pltpu.VMEM),
             traj_spec,
-            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cell), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         interpret=interpret,

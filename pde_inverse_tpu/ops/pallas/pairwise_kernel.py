@@ -125,15 +125,21 @@ def _pair_rows(axb, arb, avb, compute_dtype):
 def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     """Forward kernel body.  refs layout:
     [ax, av, ar, mask, W_1, b_1, ..., W_L, b_L, out_val, out_hess, out_dz0]
-    with ax/av [1, bi, w0]; ar [1, bj, w0]; mask [1, bj]; weights full.
-    All pair math runs on flat [bj*bi, w] rows (plain 2-D MXU matmuls).
+    with ax/av [1, bi, w0]; ar [1, bj, w0]; mask [bj, 1] column; weights
+    full.  All pair math runs on flat [bj*bi, w] rows (plain 2-D MXU
+    matmuls).  Grid is (i, t, j); out_val/out_hess blocks span the FULL
+    stamp axis ([nt, bi] — Mosaic requires the second-to-last block dim
+    divisible by 8 or equal to the array dim, so a [1, bi] row block is
+    rejected) and each (t, j) cell accumulates into row t via a
+    sublane-iota select.
     """
     act = _ACT_D012[act_name]
     ax_ref, av_ref, ar_ref, mask_ref = refs[:4]
     w_refs = refs[4 : 4 + 2 * n_mid]
     val_ref, hess_ref, dz0_ref = refs[4 + 2 * n_mid :]
+    t = pl.program_id(1)
     j = pl.program_id(2)
-    cd = lambda t: t.astype(compute_dtype)
+    cd = lambda t_: t_.astype(compute_dtype)
 
     axb = ax_ref[0]  # [bi, w0]
     avb = av_ref[0]
@@ -177,22 +183,34 @@ def _kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     # masked sums over the ref axis of the tile (mask stays a [bj, 1]
     # column: minor-dim broadcast, the canonical TPU pattern)
     mk2 = jnp.broadcast_to(mk, (bj, bi))
-    val_c = jnp.sum(mk2 * f2d, axis=0)  # [bi]
-    hess_c = jnp.sum(mk2 * d2f2d, axis=0)
+    val_row = jnp.sum(mk2 * f2d, axis=0, keepdims=True)  # [1, bi]
+    hess_row = jnp.sum(mk2 * d2f2d, axis=0, keepdims=True)
     dz0_c = jnp.sum(
         delta.astype(jnp.float32).reshape(bj, bi, w0) * mk[:, :, None], axis=0
     )  # [bi, w0]
 
+    # row-t select on the full-stamp [nt, bi] output block
+    nt_b = val_ref.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nt_b, bi), 0) == t
+    ).astype(jnp.float32)
+
+    @pl.when((t == 0) & (j == 0))
+    def _():
+        val_ref[...] = sel * val_row
+        hess_ref[...] = sel * hess_row
+
+    @pl.when((t > 0) | (j > 0))
+    def _():
+        val_ref[...] += sel * val_row
+        hess_ref[...] += sel * hess_row
+
     @pl.when(j == 0)
     def _():
-        val_ref[0] = val_c
-        hess_ref[0] = hess_c
         dz0_ref[0] = dz0_c
 
     @pl.when(j > 0)
     def _():
-        val_ref[0] += val_c
-        hess_ref[0] += hess_c
         dz0_ref[0] += dz0_c
 
 
@@ -247,19 +265,21 @@ def mlp_pairwise_sums(
         mask = jnp.pad(mask, (0, m_pad - m))
     mask2 = mask[:, None]  # [m_pad, 1] column
 
-    grid = (nt, n_pad // bi, m_pad // bj)
+    # grid: i outermost so the full-stamp [nt, bi] val/hess blocks are
+    # revisited contiguously across the whole (t, j) sweep of each i
+    grid = (n_pad // bi, nt, m_pad // bj)
 
     in_specs = [
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),
-        pl.BlockSpec((1, bj, w0), lambda t, i, j: (t, j, 0)),
-        pl.BlockSpec((bj, 1), lambda t, i, j: (j, 0)),
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
+        pl.BlockSpec((1, bj, w0), lambda i, t, j: (t, j, 0)),
+        pl.BlockSpec((bj, 1), lambda i, t, j: (j, 0)),
     ]
     args = [ax, av, ar, mask2]
     for W, b in mids:
-        in_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
+        in_specs.append(pl.BlockSpec(W.shape, lambda i, t, j: (0, 0)))
         args.append(W)
-        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i, t, j: (0, 0)))
         args.append(b.reshape(1, -1))
 
     out_shape = [
@@ -268,9 +288,9 @@ def mlp_pairwise_sums(
         jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),
-        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),
+        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),
+        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
     ]
 
     flops_tile = 2 * bi * bj * sum(
@@ -322,22 +342,29 @@ def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     w_refs = refs[7 : 7 + 2 * n_mid]
     grad_refs = refs[7 + 2 * n_mid : 7 + 4 * n_mid]
     axbar_ref, avbar_ref, arbar_ref = refs[7 + 4 * n_mid :]
-    t = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(0)
+    t = pl.program_id(1)
     j = pl.program_id(2)
-    first_cell = (t == 0) & (i == 0) & (j == 0)
+    first_cell = (i == 0) & (t == 0) & (j == 0)
     cd = lambda a: a.astype(compute_dtype)
 
     axb = ax_ref[0]
     avb = av_ref[0]
     arb = ar_ref[0]
     mk = mask_ref[...]  # [bj, 1] column
-    gv = gval_ref[...]  # [1, bi]
-    gh = ghess_ref[...]  # [1, bi]
-    gr = gdz0_ref[0]  # [bi, w0]
     bi, w0 = axb.shape
     bj = arb.shape[0]
     R = bj * bi
+    # g_val/g_hess ride in as full-stamp [nt, bi] blocks (a [1, bi] row
+    # block violates Mosaic's second-to-last-dim rule); select row t with
+    # a sublane-iota mask + sum — canonical 2-D ops, no transposes
+    nt_b = gval_ref.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nt_b, bi), 0) == t
+    ).astype(jnp.float32)
+    gv = jnp.sum(sel * gval_ref[...], axis=0, keepdims=True)  # [1, bi]
+    gh = jnp.sum(sel * ghess_ref[...], axis=0, keepdims=True)  # [1, bi]
+    gr = gdz0_ref[0]  # [bi, w0]
 
     # 4 forward streams on flat pair rows
     z, p = _pair_rows(axb, arb, avb, compute_dtype)
@@ -486,34 +513,34 @@ def mlp_pairwise_sums_bwd(
     mask2 = mask[:, None]  # [m_pad, 1] column
     n_blk_i = n_pad // bi
 
-    grid = (nt, n_blk_i, m_pad // bj)
+    grid = (n_blk_i, nt, m_pad // bj)
     in_specs = [
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # ax
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # av
-        pl.BlockSpec((1, bj, w0), lambda t, i, j: (t, j, 0)),  # ar
-        pl.BlockSpec((bj, 1), lambda t, i, j: (j, 0)),  # mask
-        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_val
-        pl.BlockSpec((1, bi), lambda t, i, j: (t, i)),  # g_hess
-        pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)),  # g_dz0
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # ax
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # av
+        pl.BlockSpec((1, bj, w0), lambda i, t, j: (t, j, 0)),  # ar
+        pl.BlockSpec((bj, 1), lambda i, t, j: (j, 0)),  # mask
+        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_val (full stamps)
+        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_hess
+        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # g_dz0
     ]
     args = [ax, av, ar, mask2, g_val, g_hess, g_dz0]
     for W, b in mids:
-        in_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
+        in_specs.append(pl.BlockSpec(W.shape, lambda i, t, j: (0, 0)))
         args.append(W)
-        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i, t, j: (0, 0)))
         args.append(b.reshape(1, -1))
 
     out_shape = []
     out_specs = []
     for W, b in mids:  # weight grads: constant-index accumulators
         out_shape.append(jax.ShapeDtypeStruct(W.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(W.shape, lambda t, i, j: (0, 0)))
+        out_specs.append(pl.BlockSpec(W.shape, lambda i, t, j: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda t, i, j: (0, 0)))
+        out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i, t, j: (0, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)))
+    out_specs.append(pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, bi, w0), lambda t, i, j: (t, i, 0)))
+    out_specs.append(pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)))
     # ar partials: one extra point-block axis, each (i, t, j) cell written
     # exactly once (the j-fastest grid order cannot revisit (t, j) blocks
     # consecutively across i)
@@ -521,7 +548,7 @@ def mlp_pairwise_sums_bwd(
         jax.ShapeDtypeStruct((n_blk_i, nt, m_pad, w0), jnp.float32)
     )
     out_specs.append(
-        pl.BlockSpec((1, 1, bj, w0), lambda t, i, j: (i, t, j, 0))
+        pl.BlockSpec((1, 1, bj, w0), lambda i, t, j: (i, t, j, 0))
     )
 
     outs = pl.pallas_call(

@@ -222,3 +222,64 @@ class TestPallasLangevin:
         )
         np.testing.assert_allclose(final.mean(0), mean_exact, atol=0.05)
         np.testing.assert_allclose(np.cov(np.asarray(final).T), cov_exact, atol=0.1)
+
+
+class TestPackedLangevin:
+    """Sublane-packed mode (pack sub-blocks per grid cell, ROOFLINE §2):
+    noiseless runs must agree with pack=1 exactly (same math, re-tiled);
+    the stochastic check against the exact OU law is TPU-gated (interpret
+    PRNG is all-zeros)."""
+
+    @pytest.mark.parametrize("integrator", ["euler", "baoab"])
+    @pytest.mark.parametrize("pack", [2, 4])
+    def test_packed_matches_unpacked_noiseless(self, integrator, pack):
+        d = 2
+        mus = jnp.array([[2.0, 0.0], [-2.0, 0.0], [0.0, 2.0]])
+        pot = GMMPotential.create(mus, jnp.ones([]))
+        n, n_steps, dt, gamma = 700, 12, 0.05, 0.7  # n not a cell multiple
+        z0 = jax.random.normal(jax.random.PRNGKey(4), (n, 2 * d)) * 2
+        kw = dict(
+            return_trajectory=True, random_phase=False, noise_scale=0.0,
+            block=128, integrator=integrator,
+        )
+        f1, t1, tau1 = _run_interpret(
+            jnp.int32(9), z0, n_steps, dt, pot, gamma, **kw
+        )
+        fp, tp, taup = _run_interpret(
+            jnp.int32(9), z0, n_steps, dt, pot, gamma, pack=pack, **kw
+        )
+        np.testing.assert_allclose(fp, f1, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(tp, t1, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(taup, tau1, atol=1e-7)
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="stochastic kernel gates run on real TPU (interpret-mode "
+        "PRNG returns zeros)",
+    )
+    def test_packed_quadratic_matches_ou_moments_tpu(self):  # pragma: no cover
+        d = 2
+        gamma = 1.0
+        _F = jax.random.normal(jax.random.PRNGKey(2217), (d, d + 1))
+        tF = _F @ _F.T / d
+        F = jnp.block(
+            [[jnp.zeros((d, d)), jnp.eye(d)], [-tF, -gamma * jnp.eye(d)]]
+        )
+        L = jnp.block(
+            [
+                [jnp.zeros((d, d)), jnp.zeros((d, d))],
+                [jnp.zeros((d, d)), 2.0 * jnp.eye(d)],
+            ]
+        )
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.linalg.inv(tF))
+        T, n_steps, n = 1.0, 200, 65536
+        z0 = jax.random.normal(jax.random.PRNGKey(0), (n, 2 * d))
+        final, _, _ = langevin_pallas(
+            jnp.int32(11), z0, n_steps, T / n_steps, pot, gamma,
+            return_trajectory=False, pack=4,
+        )
+        mean_exact, cov_exact = ou.lti_moments(
+            F, L, jnp.zeros(2 * d), jnp.eye(2 * d), jnp.float32(T)
+        )
+        np.testing.assert_allclose(final.mean(0), mean_exact, atol=0.05)
+        np.testing.assert_allclose(np.cov(np.asarray(final).T), cov_exact, atol=0.1)

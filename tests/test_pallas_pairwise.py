@@ -50,7 +50,10 @@ def _jnp_reference(net, params, x, v, refs, mask):
     out = bw._tile_stats(
         layers, act, dtype, ax, ar, av, None, None, None, mask
     )
-    # -> value/hess [n, nt], s_dz0 [n, nt, w0]; kernel layout is [nt, n, .]
+    # _tile_stats returns FLAT scan-carry-safe sums ([n*nt], [n*nt, w]);
+    # unflatten, then transpose to the kernel's [nt, n, .] layout
+    n, nt = x.shape[0], x.shape[1]
+    out = {k: v.reshape((n, nt) + v.shape[1:]) for k, v in out.items()}
     return {
         "value": out["value"].T,
         "hess": out["hess"].T,
@@ -194,6 +197,10 @@ class TestPairwiseKernel:
                 None,
                 mask,
             )
+            n_, nt_ = ax_.shape[1], ax_.shape[0]  # ax_ is [nt, n, w0]
+            out = {
+                k: w.reshape((n_, nt_) + w.shape[1:]) for k, w in out.items()
+            }
             return {
                 "value": out["value"].T,
                 "hess": out["hess"].T,
