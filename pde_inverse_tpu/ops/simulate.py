@@ -39,6 +39,7 @@ def simulate(
     integrator: str = "euler",
     antithetic: bool = False,
     z0_mirror: Optional[jnp.ndarray] = None,
+    pack: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """(final [n, 2d], trajectory [n, n_steps, 2d] | None, taus | None).
 
@@ -60,6 +61,12 @@ def simulate(
     the estimator variance is left on the table."""
     if use_pallas is None:
         use_pallas = _on_tpu() and pallas_supported_potential(potential)
+    if pack is None:
+        # sublane packing (ROOFLINE §2): d < 8 states underfill the 8
+        # sublanes; pack 8//d independent sub-blocks per grid cell.
+        # Default 1 until the on-chip A/B + OU moment gate validate it
+        # (chain_r3e); flip to `max(1, 8 // (z0.shape[-1] // 2))` then.
+        pack = 1
     if z0_mirror is not None:
         if not antithetic:
             raise ValueError("z0_mirror is only meaningful with antithetic=True")
@@ -84,6 +91,7 @@ def simulate(
                     return_trajectory=return_trajectory,
                     integrator=integrator,
                     noise_scale=sign,
+                    pack=pack,
                 )
             )
         else:
