@@ -62,6 +62,12 @@ class PDEInstanceConfig:
     # while anticorrelating the pair — a variance-reduction lever for the
     # weak-form estimator at unchanged batch size and simulation cost.
     antithetic: bool = False
+    # Sublane packing for the Pallas Langevin kernel: number of
+    # independent particle sub-blocks per grid cell (ROOFLINE §2 — d < 8
+    # phase states underfill the 8 sublanes; 8 // d doubles/quadruples
+    # elementwise+PRNG work per issue slot).  0 = library default
+    # (currently 1; flips to 8 // d once the on-chip A/B validates it).
+    langevin_pack: int = 0
     n_steps: int = 100
     sample_initial_size: int = 500_000
     sample_terminal_size: int = 200_000

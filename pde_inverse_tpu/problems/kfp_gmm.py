@@ -175,6 +175,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
                 self.gamma_friction,
                 return_trajectory=False,
                 integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
             )
             return term
 
@@ -194,6 +195,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
                 self.potential,
                 self.gamma_friction,
                 integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
             )
             return traj, tau
 
@@ -243,6 +245,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         _, traj, _ = simulate(
             rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction,
             integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
             antithetic=antithetic,
             z0_mirror=(2.0 * m0 - z0) if antithetic else None,
         )
@@ -279,6 +282,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.gamma_friction,
             return_trajectory=False,
             integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
             antithetic=antithetic,
             z0_mirror=(2.0 * m0 - z0_term) if antithetic else None,
         )
@@ -307,6 +311,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.gamma_friction,
             return_trajectory=False,
             integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
         )
 
         dt_0T = p.total_evolving_time / p.n_steps_0T
@@ -319,6 +324,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             self.potential,
             self.gamma_friction,
             integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
         )
         return dataset
 
