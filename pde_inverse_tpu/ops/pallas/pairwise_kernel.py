@@ -230,11 +230,16 @@ def mlp_pairwise_sums(
     ar: jnp.ndarray,
     mask: jnp.ndarray,
     compute_dtype=jnp.float32,
-    block_i: int = 256,
+    block_i: int = 128,
     block_j: int = 8,
     interpret: bool = False,
 ):
     """Masked pairwise sums over the per-stamp ref axis.
+
+    Default tile R = block_i*block_j = 1024 pair rows — the forward
+    holds 3 streams + per-layer preacts live; sized with ~3x headroom
+    against the v5e 16 MB scoped-VMEM limit (see the backward's
+    docstring for the measured per-row cost that blew it at R=2048).
 
     mids: [(W_k [w_{k-1}, w_k], b_k)] hidden + feature layers (everything
     AFTER the first linear stage, whose per-point projections are
@@ -481,8 +486,8 @@ def mlp_pairwise_sums_bwd(
     g_hess: jnp.ndarray,
     g_dz0: jnp.ndarray,
     compute_dtype=jnp.float32,
-    block_i: int = 256,
-    block_j: int = 8,
+    block_i: int = 128,
+    block_j: int = 4,
     interpret: bool = False,
 ):
     """VJP of ``mlp_pairwise_sums`` w.r.t. (mids, ax, av, ar).
@@ -490,6 +495,12 @@ def mlp_pairwise_sums_bwd(
     g_val/g_hess: [nt, n]; g_dz0: [nt, n, w0] upstream cotangents.
     Returns (mids_bar [(Wbar, bbar)...], ax_bar [nt, n, w0], av_bar,
     ar_bar [nt, m, w0]).
+
+    Default tile is R = block_i*block_j = 512 pair rows: the backward
+    holds 4 forward streams + their per-layer saves + 4 cotangent
+    streams live, measured ~10.8 KB of scoped VMEM per pair row at
+    w=32/n_mid=2 on v5e — R=2048 blew the 16 MB scoped-vmem limit
+    (21.66 MB, first on-chip exercise); R=512 leaves ~3x headroom.
     """
     nt, n, w0 = ax.shape
     m = ar.shape[1]
