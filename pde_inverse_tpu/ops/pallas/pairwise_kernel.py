@@ -111,13 +111,24 @@ def _dot_t(a, b):
 def _pair_rows(axb, arb, avb, compute_dtype):
     """First-layer outer difference + velocity tangent as flat pair rows:
     axb/avb [bi, w0], arb [bj, w0] -> (z, dz) [bj*bi, w0].  Row r = q*bj...
-    rows are ordered ref-major: r = p*bi + q pairs ref p with point q."""
-    cd = lambda t: t.astype(compute_dtype)
+    rows are ordered ref-major: r = p*bi + q pairs ref p with point q.
+
+    The [bj, bi, w0] -> [bj*bi, w0] reshapes run in f32 with the cast to
+    ``compute_dtype`` AFTER: Mosaic rejects the reshape on 16-bit packed
+    layouts ("infer-vector-layout: unsupported shape cast", first bf16
+    on-chip exercise)."""
+    f = jnp.float32
     bj, bi = arb.shape[0], axb.shape[0]
     w0 = axb.shape[1]
-    z = (cd(axb)[None, :, :] - cd(arb)[:, None, :]).reshape(bj * bi, w0)
-    dz = jnp.broadcast_to(cd(avb)[None, :, :], (bj, bi, w0)).reshape(
-        bj * bi, w0
+    z = (
+        (axb.astype(f)[None, :, :] - arb.astype(f)[:, None, :])
+        .reshape(bj * bi, w0)
+        .astype(compute_dtype)
+    )
+    dz = (
+        jnp.broadcast_to(avb.astype(f)[None, :, :], (bj, bi, w0))
+        .reshape(bj * bi, w0)
+        .astype(compute_dtype)
     )
     return z, dz
 
@@ -374,7 +385,13 @@ def _bwd_kernel(n_mid: int, act_name: str, compute_dtype, *refs):
     # 4 forward streams on flat pair rows
     z, p = _pair_rows(axb, arb, avb, compute_dtype)
     q = None  # exactly zero at z0
-    r = jnp.broadcast_to(cd(gr)[None, :, :], (bj, bi, w0)).reshape(R, w0)
+    # f32 reshape + late cast: 16-bit reshapes are unsupported (see
+    # _pair_rows)
+    r = (
+        jnp.broadcast_to(gr.astype(jnp.float32)[None, :, :], (bj, bi, w0))
+        .reshape(R, w0)
+        .astype(compute_dtype)
+    )
 
     saved = []
     for k in range(n_mid):
