@@ -120,67 +120,30 @@ def _kernel(
     random_phase: bool,
     noise_scale: float,
     integrator: str,
-    pack: int = 1,
 ):
-    """pack > 1: the grid cell's z block holds `pack` independent
-    particle sub-blocks side by side on the lane axis, and the update
-    runs on sublane-packed [pack*d, B] tiles (see `_pack_rows`): a
-    [4, B] f32 op occupies the same issue slots as an [8, B] op at half
-    the work, so packing doubles elementwise/PRNG work per slot for
-    d=4 (×4 for d=2).  Only the per-sub-block GMM energy/softmax
-    reductions split back to [d, B] slices (ROOFLINE §2)."""
     *param_refs, final_ref, traj_ref, tau_ref = rest
     grad_fn = lambda q: grad_fn_raw(q, *param_refs)
 
     # one independent stream per particle block
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    if pack > 1:
-        Bc = z0_ref.shape[1]
-        B = Bc // pack
-        sub = lambda t, j: t[:, j * B : (j + 1) * B]
-        q = jnp.concatenate(
-            [sub(z0_ref[:d, :], j) for j in range(pack)], axis=0
-        )
-        p = jnp.concatenate(
-            [sub(z0_ref[d:, :], j) for j in range(pack)], axis=0
-        )
-        grad_unpacked = grad_fn
-        grad_fn = lambda qp: jnp.concatenate(
-            [grad_unpacked(qp[j * d : (j + 1) * d, :]) for j in range(pack)],
-            axis=0,
-        )
-    else:
-        q = z0_ref[:d, :]
-        p = z0_ref[d:, :]
-        B = q.shape[1]
+    q = z0_ref[:d, :]
+    p = z0_ref[d:, :]
+    B = q.shape[1]
 
-    rows = pack * d
-    cell_w = pack * B
     if random_phase:
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, cell_w)), jnp.uint32)
-        tau_cell = _uniform_from_bits(bits) * dt  # (0, dt]; matches U[0,dt) a.s.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+        tau0 = _uniform_from_bits(bits) * dt  # (0, dt]; matches U[0,dt) a.s.
     else:
-        tau_cell = jnp.zeros((1, cell_w), jnp.float32)
-    tau_ref[:, :] = tau_cell
-    if pack > 1:
-        # [rows, B]: sub-block j's tau broadcast over its d rows
-        tau0 = jnp.concatenate(
-            [
-                jnp.broadcast_to(tau_cell[:, j * B : (j + 1) * B], (d, B))
-                for j in range(pack)
-            ],
-            axis=0,
-        )
-    else:
-        tau0 = tau_cell
+        tau0 = jnp.zeros((1, B), jnp.float32)
+    tau_ref[:, :] = tau0
 
     def draw(shape):
         return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
 
     def em_step(q, p, g, step_dt):
-        # step_dt: scalar or [rows, B]/[1, B] (broadcasts); g unused
-        noise = draw((rows, B))
+        # step_dt: scalar or [1, B] (broadcasts over the d axis); g unused
+        noise = draw((d, B))
         p_new = (
             p
             - step_dt * grad_fn(q)
@@ -202,6 +165,175 @@ def _kernel(
             c2 = jnp.sqrt((1.0 - c1 * c1) / gamma)
         else:
             c1, c2 = 1.0, jnp.sqrt(2.0 * step_dt)
+        p = c1 * p + c2 * draw((d, B))
+        q = q + half * p
+        g = grad_fn(q)
+        p = p - half * g
+        return q, p, g
+
+    step = baoab if integrator == "baoab" else em_step
+    g = grad_fn(q) if integrator == "baoab" else jnp.zeros((d, B), q.dtype)
+
+    # phase step onto the first grid time tau0
+    q, p, g = step(q, p, g, tau0)
+
+    if with_trajectory:
+        traj_ref[0, :d, :] = q
+        traj_ref[0, d:, :] = p
+
+    def body(i, carry):
+        q, p, g = carry
+        q, p, g = step(q, p, g, dt)
+        if with_trajectory:
+            traj_ref[i, :d, :] = q
+            traj_ref[i, d:, :] = p
+        return q, p, g
+
+    q, p, g = jax.lax.fori_loop(1, n_steps, body, (q, p, g))
+
+    # closing partial step lands exactly on n_steps * dt
+    q, p, _ = step(q, p, g, dt - tau0)
+    final_ref[:d, :] = q
+    final_ref[d:, :] = p
+
+
+def _grad_fn_packed(potential: Potential, pack: int, d: int):
+    """Packed-layout analogue of `_grad_fn_lane_layout`: grad over
+    [pack*d, B] tiles holding `pack` independent sub-blocks stacked on
+    sublanes.  Per-sub-block reductions/broadcasts run as matmuls with a
+    0/1 selector S [pack*d, pack] (built in-kernel from iota) — no
+    sublane slicing or concatenation, which Mosaic rejects for operands
+    at mismatched offsets ("offset mismatch on non-concat dimension",
+    first packed on-chip exercise)."""
+    rows = pack * d
+
+    def selector():
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, pack), 0) // d
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, pack), 1)
+        return (r == c).astype(jnp.float32)
+
+    if isinstance(potential, QuadraticPotential):
+        bd = jnp.kron(jnp.eye(pack), potential.inv_cov)  # [rows, rows]
+        mu_p = jnp.tile(potential.mu[:, None], (pack, 1))  # [rows, 1]
+        params = [bd, mu_p]
+
+        def grad(qp, bd_ref, mu_ref):  # [rows, B]
+            return jnp.dot(
+                bd_ref[:, :], qp - mu_ref[:, :],
+                preferred_element_type=jnp.float32,
+            )
+
+        return params, grad
+
+    if isinstance(potential, GMMPotential):
+        k = potential.mus.shape[0]
+        inv_s2 = 1.0 / float(potential.sigma) ** 2
+        params = [jnp.tile(potential.mus.T, (pack, 1))]  # [rows, k]
+
+        def grad(qp, mus_ref):  # [rows, B]
+            S = selector()
+            mus = mus_ref[:, :]
+            diffs = []
+            es = []
+            for i in range(k):
+                diff = qp - mus[:, i : i + 1]  # [rows, B] packed
+                diffs.append(diff)
+                # per-sub-block energy: S^T @ (diff*diff) -> [pack, B]
+                sq = jax.lax.dot_general(
+                    S, diff * diff, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                es.append(-0.5 * inv_s2 * sq)
+            m = es[0]
+            for i in range(1, k):
+                m = jnp.maximum(m, es[i])
+            ws = [jnp.exp(e - m) for e in es]  # [pack, B] each
+            z = ws[0]
+            for i in range(1, k):
+                z = z + ws[i]
+            bcast = lambda w: jnp.dot(  # [rows, pack] @ [pack, B]
+                S, w, preferred_element_type=jnp.float32
+            )
+            acc = bcast(ws[0]) * diffs[0]
+            for i in range(1, k):
+                acc = acc + bcast(ws[i]) * diffs[i]
+            return acc * (inv_s2 / bcast(z))
+
+        return params, grad
+    raise NotImplementedError(
+        f"no packed-layout gradient for {type(potential).__name__}"
+    )
+
+
+def _kernel_packed(
+    seed_ref,
+    q0_ref,
+    p0_ref,
+    *rest,
+    grad_fn_raw,
+    n_steps: int,
+    dt: float,
+    gamma: float,
+    d: int,
+    pack: int,
+    with_trajectory: bool,
+    random_phase: bool,
+    noise_scale: float,
+    integrator: str,
+):
+    """Sublane-packed variant: q0/p0 arrive PRE-PACKED as [pack*d, B]
+    tiles (`pack` independent B-particle sub-blocks stacked on sublanes —
+    the layout transform runs outside in XLA).  Every update op covers
+    pack sub-blocks per issue slot (ROOFLINE §2: the kernel is
+    issue-throughput-bound and [d<8, B] tiles underfill sublanes).
+    Outputs are packed too: final q/p [pack*d, B], tau [pack, B],
+    trajectory [n_steps, 2*pack*d, B]."""
+    *param_refs, finalq_ref, finalp_ref, traj_ref, tau_ref = rest
+    grad_fn = lambda q: grad_fn_raw(q, *param_refs)
+    rows = pack * d
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    q = q0_ref[...]
+    p = p0_ref[...]
+    B = q.shape[1]
+
+    r_ = jax.lax.broadcasted_iota(jnp.int32, (rows, pack), 0) // d
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (rows, pack), 1)
+    S = (r_ == c_).astype(jnp.float32)  # [rows, pack] selector
+
+    if random_phase:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((pack, B)), jnp.uint32)
+        tau_p = _uniform_from_bits(bits) * dt
+    else:
+        tau_p = jnp.zeros((pack, B), jnp.float32)
+    tau_ref[...] = tau_p
+    # per-sub-block tau broadcast over its d rows: S @ tau_p
+    tau0 = jnp.dot(S, tau_p, preferred_element_type=jnp.float32)
+
+    def draw(shape):
+        return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
+
+    def em_step(q, p, g, step_dt):
+        noise = draw((rows, B))
+        p_new = (
+            p
+            - step_dt * grad_fn(q)
+            + jnp.sqrt(2.0 * step_dt) * noise
+            - gamma * p * step_dt
+        )
+        q_new = q + step_dt * p_new
+        return q_new, p_new, g
+
+    def baoab(q, p, g, step_dt):
+        half = 0.5 * step_dt
+        p = p - half * g
+        q = q + half * p
+        if gamma > 0.0:
+            c1 = jnp.exp(-gamma * step_dt)
+            c2 = jnp.sqrt((1.0 - c1 * c1) / gamma)
+        else:
+            c1, c2 = 1.0, jnp.sqrt(2.0 * step_dt)
         p = c1 * p + c2 * draw((rows, B))
         q = q + half * p
         g = grad_fn(q)
@@ -211,41 +343,160 @@ def _kernel(
     step = baoab if integrator == "baoab" else em_step
     g = grad_fn(q) if integrator == "baoab" else jnp.zeros((rows, B), q.dtype)
 
-    def write_traj(i, q, p):
-        if pack > 1:
-            for j in range(pack):
-                sl = slice(j * B, (j + 1) * B)
-                traj_ref[i, :d, sl] = q[j * d : (j + 1) * d, :]
-                traj_ref[i, d:, sl] = p[j * d : (j + 1) * d, :]
-        else:
-            traj_ref[i, :d, :] = q
-            traj_ref[i, d:, :] = p
-
-    # phase step onto the first grid time tau0
     q, p, g = step(q, p, g, tau0)
 
     if with_trajectory:
-        write_traj(0, q, p)
+        traj_ref[0, :rows, :] = q
+        traj_ref[0, rows:, :] = p
 
     def body(i, carry):
         q, p, g = carry
         q, p, g = step(q, p, g, dt)
         if with_trajectory:
-            write_traj(i, q, p)
+            traj_ref[i, :rows, :] = q
+            traj_ref[i, rows:, :] = p
         return q, p, g
 
     q, p, g = jax.lax.fori_loop(1, n_steps, body, (q, p, g))
 
-    # closing partial step lands exactly on n_steps * dt
     q, p, _ = step(q, p, g, dt - tau0)
-    if pack > 1:
-        for j in range(pack):
-            sl = slice(j * B, (j + 1) * B)
-            final_ref[:d, sl] = q[j * d : (j + 1) * d, :]
-            final_ref[d:, sl] = p[j * d : (j + 1) * d, :]
-    else:
-        final_ref[:d, :] = q
-        final_ref[d:, :] = p
+    finalq_ref[...] = q
+    finalp_ref[...] = p
+
+
+def _pack_lanes(a: jnp.ndarray, pack: int, block: int) -> jnp.ndarray:
+    """[d, n_pad] -> packed [pack*d, n_pad//pack]: grid cell i's lanes
+    [i*B:(i+1)*B] of sub-block j are the original lanes
+    [(i*pack+j)*B : (i*pack+j+1)*B]."""
+    d, n_pad = a.shape
+    cells = n_pad // (pack * block)
+    return (
+        a.reshape(d, cells, pack, block)
+        .transpose(2, 0, 1, 3)
+        .reshape(pack * d, cells * block)
+    )
+
+
+def _unpack_lanes(a: jnp.ndarray, pack: int, block: int, d: int) -> jnp.ndarray:
+    """Inverse of `_pack_lanes`: [pack*d, n'] -> [d, n'*pack]."""
+    n_prime = a.shape[-1]
+    cells = n_prime // block
+    return (
+        a.reshape(pack, d, cells, block)
+        .transpose(1, 2, 0, 3)
+        .reshape(d, pack * n_prime)
+    )
+
+
+def _langevin_pallas_packed(
+    seed,
+    zT: jnp.ndarray,
+    n_steps: int,
+    dt: float,
+    potential: Potential,
+    gamma: float,
+    return_trajectory: bool,
+    random_phase: bool,
+    noise_scale: float,
+    block: int,
+    pack: int,
+    interpret,
+    integrator: str,
+):
+    """Packed-path driver: packs lanes outside, runs `_kernel_packed`,
+    unpacks.  zT: [2d, n_pad] with n_pad a multiple of pack*block.
+    Returns (final_T [2d, n_pad], traj [n_steps, 2d, n_pad] | None,
+    tau0 [1, n_pad])."""
+    two_d, n_pad = zT.shape
+    d = two_d // 2
+    rows = pack * d
+    n_prime = n_pad // pack
+
+    qP = _pack_lanes(zT[:d], pack, block)
+    pP = _pack_lanes(zT[d:], pack, block)
+
+    param_arrays, grad_fn = _grad_fn_packed(potential, pack, d)
+    kernel = functools.partial(
+        _kernel_packed,
+        grad_fn_raw=grad_fn,
+        n_steps=n_steps,
+        dt=dt,
+        gamma=gamma,
+        d=d,
+        pack=pack,
+        with_trajectory=return_trajectory,
+        random_phase=random_phase,
+        noise_scale=noise_scale,
+        integrator=integrator,
+    )
+
+    grid = (n_prime // block,)
+    traj_shape = (
+        jax.ShapeDtypeStruct((n_steps, 2 * rows, n_prime), zT.dtype)
+        if return_trajectory
+        else jax.ShapeDtypeStruct((1, 2 * rows, block), zT.dtype)  # dummy
+    )
+    traj_spec = (
+        pl.BlockSpec(
+            (n_steps, 2 * rows, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        if return_trajectory
+        else pl.BlockSpec(
+            (1, 2 * rows, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
+    param_specs = [
+        pl.BlockSpec(
+            tuple(a.shape), lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+        for a in param_arrays
+    ]
+    finq, finp, traj, tauP = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            traj_spec,
+            pl.BlockSpec((pack, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, n_prime), zT.dtype),
+            jax.ShapeDtypeStruct((rows, n_prime), zT.dtype),
+            traj_shape,
+            jax.ShapeDtypeStruct((pack, n_prime), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        qP,
+        pP,
+        *[jnp.asarray(a, zT.dtype) for a in param_arrays],
+    )
+
+    final_T = jnp.concatenate(
+        [_unpack_lanes(finq, pack, block, d), _unpack_lanes(finp, pack, block, d)],
+        axis=0,
+    )
+    tau0 = _unpack_lanes(tauP, pack, block, 1)
+    trajectory = None
+    if return_trajectory:
+        uq = jax.vmap(lambda t: _unpack_lanes(t, pack, block, d))(
+            traj[:, :rows]
+        )
+        up = jax.vmap(lambda t: _unpack_lanes(t, pack, block, d))(
+            traj[:, rows:]
+        )
+        trajectory = jnp.concatenate([uq, up], axis=1)  # [n_steps, 2d, n_pad]
+    return final_T, trajectory, tau0
 
 
 def langevin_pallas(
@@ -299,6 +550,23 @@ def langevin_pallas(
     n_pad = -(-n // cell) * cell
     zT = jnp.zeros((two_d, n_pad), z0.dtype).at[:, :n].set(z0.T)
 
+    if pack > 1:
+        final_T, traj3, tau2 = _langevin_pallas_packed(
+            seed, zT, n_steps, dt, potential, gamma,
+            return_trajectory=return_trajectory,
+            random_phase=random_phase, noise_scale=noise_scale,
+            block=cell // pack, pack=pack, interpret=interpret,
+            integrator=integrator,
+        )
+        final = final_T.T[:n]
+        if not return_trajectory:
+            return final, None, None
+        trajectory = jnp.transpose(traj3, (2, 0, 1))[:n]
+        taus = tau2[0, :n][:, None] + jnp.arange(
+            n_steps, dtype=z0.dtype
+        )[None, :] * dt
+        return final, trajectory, taus
+
     param_arrays, grad_fn = _grad_fn_lane_layout(potential)
     kernel = functools.partial(
         _kernel,
@@ -311,7 +579,6 @@ def langevin_pallas(
         random_phase=random_phase,
         noise_scale=noise_scale,
         integrator=integrator,
-        pack=pack,
     )
 
     grid = (n_pad // cell,)
