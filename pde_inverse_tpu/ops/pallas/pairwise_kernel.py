@@ -504,7 +504,7 @@ def mlp_pairwise_sums_bwd(
     g_dz0: jnp.ndarray,
     compute_dtype=jnp.float32,
     block_i: int = 128,
-    block_j: int = 4,
+    block_j: int = 8,
     interpret: bool = False,
 ):
     """VJP of ``mlp_pairwise_sums`` w.r.t. (mids, ax, av, ar).
@@ -513,11 +513,17 @@ def mlp_pairwise_sums_bwd(
     Returns (mids_bar [(Wbar, bbar)...], ax_bar [nt, n, w0], av_bar,
     ar_bar [nt, m, w0]).
 
-    Default tile is R = block_i*block_j = 512 pair rows: the backward
-    holds 4 forward streams + their per-layer saves + 4 cotangent
-    streams live, measured ~10.8 KB of scoped VMEM per pair row at
-    w=32/n_mid=2 on v5e — R=2048 blew the 16 MB scoped-vmem limit
-    (21.66 MB, first on-chip exercise); R=512 leaves ~3x headroom.
+    Default tile is R = block_i*block_j = 1024 pair rows — the legal
+    floor AND the VMEM ceiling at once: the backward holds 4 forward
+    streams + per-layer saves + 4 cotangent streams live, measured
+    ~10.8 KB of scoped VMEM per pair row at w=32/n_mid=2 on v5e (R=2048
+    allocated 21.66 MB against the 16 MB scoped-vmem limit, first
+    on-chip exercise).  block_j must be a multiple of 8 (second-to-last
+    dim of the `ar` input blocks) and block_i a multiple of 128 (last
+    dim of the [nt, bi] g_val/g_hess blocks), so R cannot go below 1024
+    without a layout change; if 1024 still trips the limit the next
+    lever is recomputing the forward streams in the reverse sweep
+    instead of saving them.
     """
     nt, n, w0 = ax.shape
     m = ar.shape[1]
