@@ -65,6 +65,22 @@ class ConsistencyBased(Method):
 
         net = get_model(self.cfg, self.pde_instance)
         self._model = net
+        tr = self.cfg.solver.train
+        if (
+            self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov"
+            and self.cfg.estimation_mode == "non-parametric"
+            and tr.kmv_blockwise
+            and not self._kmv_closed_form()
+            and self.cfg.train.steps_per_chunk > 10
+            and jax.default_backend() == "axon"
+        ):
+            print(
+                "[warn] blockwise non-parametric KMV with "
+                f"train.steps_per_chunk={self.cfg.train.steps_per_chunk}: "
+                "scan chunks > ~10 steps over the pairwise path crash the "
+                "tunneled TPU worker (observed round 3; chunk=5 runs). "
+                "Set train.steps_per_chunk=5 for this path."
+            )
         z = self.pde_instance.distribution_initial.sample(1, jax.random.PRNGKey(1))[0]
         if self.cfg.pde_instance.name.startswith("Kinetic"):
             x = jnp.split(z, 2, axis=-1)[0]
