@@ -540,7 +540,13 @@ def langevin_pallas(
         # keep the per-cell trajectory buffer within ~8 MB of VMEM
         budget = 8 * 1024 * 1024 // (n_steps * two_d * 4)
         cell = max(128, min(cell, (budget // 128) * 128))
-        block = max(128 // pack, cell // pack)
+        if pack > 1:
+            # the packed sub-block width is a LANE block dim — it must be
+            # a multiple of 128 itself (on-chip lesson: cell=1280/pack=4
+            # gave a 320-lane block, rejected by Mosaic)
+            block = max(128, (cell // pack) // 128 * 128)
+        else:
+            block = cell // pack
         cell = pack * block
     # (measured on v5e: block 512 vs 8192 is within 10% for the
     # no-trajectory path — the sequential grid is not the bottleneck —
