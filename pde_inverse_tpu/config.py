@@ -120,6 +120,18 @@ class SolverTrainConfig:
     # kernels (no Fourier front end), "on" forces it (interpret mode off
     # TPU), "off" keeps the pure-XLA blockwise formulation.
     kmv_pallas: str = "auto"
+    # Field-space Tikhonov stabilizer for non-parametric KMV: adds
+    # lambda * mean ||grad Phi(y)||^2 over a fixed strided probe set of
+    # pairwise sample differences y = x_i - x_j to the weak-form loss.
+    # The loss's value/Hessian terms are LINEAR in Phi; their
+    # finite-sample cancellation failure leaves unbounded descent
+    # directions (observed: field norm explodes ~500x under wd<=1e-3).
+    # This penalizes the exploding quantity itself — the gradient FIELD
+    # on the data support — instead of all weights (weight decay needs
+    # wd=1e-1 to stabilize, a far cruder bias). 0 disables.
+    kmv_field_reg: float = 0.0
+    # Probe pairs for the field regularizer (O(probes) extra evals/step).
+    kmv_field_reg_probes: int = 4096
     # Fused per-point {grad V, v^T Hess V v} provider for the kinetic
     # Fokker-Planck weak-form loss (losses/fused_pointwise.py +
     # ops/pallas/pointwise_kernel.py): "auto" runs the VMEM-resident

@@ -271,6 +271,8 @@ def make_loss_fn(
     blockwise_module=None,
     blockwise_rows: int = 0,
     pallas_mode: str = "auto",
+    field_reg: float = 0.0,
+    field_reg_probes: int = 4096,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -311,6 +313,24 @@ def make_loss_fn(
             "policy). Got keys: " + str(sorted(data))
         )
     refs = x  # empirical mean-field measure = the samples themselves
+
+    probe_diffs = None
+    if field_reg > 0.0:
+        # Fixed strided probe pairs from the batch itself: the penalty
+        # lambda * mean ||grad Phi(x_i - x_j)||^2 measures the gradient
+        # FIELD on the same difference cloud the mean-field convolution
+        # integrates over.  The weak form's value/Hessian terms are linear
+        # in Phi, so finite-sample cancellation failure leaves descent
+        # directions along which the field grows without bound (CLAUDE.md
+        # round-3: norm explodes ~500x under wd<=1e-3); this pins exactly
+        # that quantity.  Strided (deterministic) partners keep the step
+        # jit-stable; coverage refreshes every step with the batch.
+        xf = x.reshape(-1, d)
+        n_pts = xf.shape[0]
+        n_probe = min(field_reg_probes, n_pts)
+        ii = jnp.arange(n_probe) % n_pts
+        jj = (jnp.arange(n_probe) * 7919 + n_pts // 2) % n_pts
+        probe_diffs = xf[ii] - xf[jj]  # [P, d]
 
     # auto-scale the ref chunk so chunk * n * nt stays within budget
     per_ref = max(1, x.shape[0] * n_time)
@@ -394,6 +414,12 @@ def make_loss_fn(
         loss_hessian = jnp.mean(stats["hess"])
         loss_value = jnp.mean(stats["value"] * weights)
         loss = loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
+        if probe_diffs is not None:
+            Phi = lambda xi: forward_fn(params, xi)[0]
+            grad_probe = ad.batched_grad(Phi, probe_diffs)  # [P, d]
+            loss = loss + field_reg * jnp.mean(
+                jnp.sum(grad_probe**2, axis=-1)
+            )
         gap = jnp.mean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
         return loss, gap
 
@@ -412,6 +438,8 @@ def value_and_grad_fn(
     blockwise_module=None,
     blockwise_rows: int = 0,
     pallas_mode: str = "auto",
+    field_reg: float = 0.0,
+    field_reg_probes: int = 4096,
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -423,6 +451,8 @@ def value_and_grad_fn(
         blockwise_module=blockwise_module,
         blockwise_rows=blockwise_rows,
         pallas_mode=pallas_mode,
+        field_reg=field_reg,
+        field_reg_probes=field_reg_probes,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

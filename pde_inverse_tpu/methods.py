@@ -176,6 +176,11 @@ class ConsistencyBased(Method):
             if self._kmv_closed_form():
                 kwargs["closed_form_quadratic"] = True
             kwargs["element_budget"] = self.cfg.solver.train.kmv_element_budget
+            if self.cfg.solver.train.kmv_field_reg > 0.0:
+                kwargs["field_reg"] = self.cfg.solver.train.kmv_field_reg
+                kwargs["field_reg_probes"] = (
+                    self.cfg.solver.train.kmv_field_reg_probes
+                )
             if (
                 "closed_form_quadratic" not in kwargs
                 and self.cfg.solver.train.kmv_blockwise

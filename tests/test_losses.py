@@ -233,6 +233,38 @@ class TestKMVLoss:
         loss_fn = kmv_loss.make_loss_fn(net.apply, data, inst)
         np.testing.assert_allclose(loss_fn(params)[1], 0.0, atol=1e-8)
 
+    def test_field_reg_adds_probe_gradient_penalty(self, rng):
+        """field_reg adds EXACTLY lambda * mean ||grad Phi||^2 over the
+        documented strided probe pairs, leaves the gap untouched, and
+        flows into the parameter gradient."""
+        inst, net, params, data = self._setup(rng)
+        lam, n_probe = 0.37, 16
+        base = kmv_loss.make_loss_fn(net.apply, data, inst)
+        reg = kmv_loss.make_loss_fn(
+            net.apply, data, inst, field_reg=lam, field_reg_probes=n_probe
+        )
+        (l0, gap0), (l1, gap1) = base(params), reg(params)
+
+        taus = data["tau_0T"]
+        nt = taus.shape[0]
+        x, _ = jnp.split(data["0T"], 2, -1)
+        d = x.shape[-1]
+        xf = x.reshape(-1, nt, d).reshape(-1, d)
+        n_pts = xf.shape[0]
+        n_p = min(n_probe, n_pts)
+        ii = jnp.arange(n_p) % n_pts
+        jj = (jnp.arange(n_p) * 7919 + n_pts // 2) % n_pts
+        probes = xf[ii] - xf[jj]
+        g = jax.vmap(jax.grad(lambda xi: net.apply(params, xi)[0]))(probes)
+        expected = lam * jnp.mean(jnp.sum(g**2, -1))
+
+        np.testing.assert_allclose(l1 - l0, expected, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(gap0, gap1, rtol=1e-6)
+        grads = jax.grad(lambda p: reg(p)[0])(params)
+        assert jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), grads, 0.0
+        ) > 0.0
+
     def test_closed_form_quadratic_matches_pairwise(self, rng):
         """The O(n) sufficient-statistics fast path for exactly-quadratic
         kernels must reproduce the O(n^2) pairwise loss, gap, and params
