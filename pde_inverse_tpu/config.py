@@ -132,6 +132,13 @@ class SolverTrainConfig:
     kmv_field_reg: float = 0.0
     # Probe pairs for the field regularizer (O(probes) extra evals/step).
     kmv_field_reg_probes: int = 4096
+    # Estimator lever (ROOFLINE §3): refresh the boundary batches (initial
+    # draws + terminal SDE simulation — the dominant sampling cost at the
+    # np production geometry, ~27% of the step) once per fused scan chunk
+    # instead of every step.  The path batch stays fresh per step.  Trades
+    # within-chunk correlation of the boundary MC terms for step time;
+    # online data policies only (offline loaders ignore it).
+    boundary_per_chunk: bool = False
     # Fused per-point {grad V, v^T Hess V v} provider for the kinetic
     # Fokker-Planck weak-form loss (losses/fused_pointwise.py +
     # ops/pallas/pointwise_kernel.py): "auto" runs the VMEM-resident

@@ -150,7 +150,15 @@ class ConsistencyBased(Method):
             out["tau_0T_per_traj"] = taus
         return out
 
-    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None, stream_batch=None):
+    def value_and_grad_fn(
+        self,
+        forward_fn,
+        params,
+        rng,
+        dataset=None,
+        stream_batch=None,
+        boundary=None,
+    ):
         rng_sample, rng_vg = jax.random.split(rng)
         if stream_batch is not None:
             data = {
@@ -162,6 +170,10 @@ class ConsistencyBased(Method):
                 from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 
                 data = shard_tree_batches(data, self.mesh_spec)
+        elif boundary is not None:
+            # chunk-cadence boundary refresh: reuse the chunk's boundary
+            # batch, resample only the path (solver.train.boundary_per_chunk)
+            data = {**boundary, **self.sample_path(rng_sample)}
         else:
             data = self.sample_data(rng_sample, dataset=dataset)
         kwargs = {}
@@ -263,6 +275,63 @@ class ConsistencyBased(Method):
 
     def sample_data(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
         data = self._sample_data_unsharded(rng, dataset)
+        if self.mesh_spec is not None:
+            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+
+            data = shard_tree_batches(data, self.mesh_spec)
+        return data
+
+    def sample_boundary(self, rng) -> Dict[str, jnp.ndarray] | None:
+        """Boundary-only batch ({initial, terminal}) for the chunk-cadence
+        refresh (solver.train.boundary_per_chunk): ROOFLINE §3 measured the
+        np production step's sampling as boundary-dominated (the 300k
+        terminal particles are re-simulated through the full SDE EVERY
+        step; the path batch is ~30x cheaper).  Returns None when the data
+        policy has no online boundary to split (offline datasets) — the
+        trainer falls back to per-step sample_data."""
+        inst = self.pde_instance
+        tr = self.cfg.solver.train
+        if inst.sample_mode != "online":
+            return None
+        rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
+        if inst.sample_scheme == "exact":
+            data = {
+                "initial": inst.distribution_initial.sample(
+                    tr.batch_size_init, rng_init
+                ),
+                "terminal": inst.distribution_terminal.sample(
+                    tr.batch_size_terminal, rng_term
+                ),
+            }
+        elif inst.sample_scheme == "SDE" and hasattr(inst, "sample_boundary_only"):
+            initial, terminal = inst.sample_boundary_only(rng_0T, tr.batch_size_0T)
+            data = {"initial": initial, "terminal": terminal}
+        else:
+            return None
+        if self.mesh_spec is not None:
+            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+
+            data = shard_tree_batches(data, self.mesh_spec)
+        return data
+
+    def sample_path(self, rng) -> Dict[str, jnp.ndarray]:
+        """Path-only per-step batch, complementing sample_boundary (same
+        online key layout as _sample_data_unsharded)."""
+        inst = self.pde_instance
+        tr = self.cfg.solver.train
+        _, _, rng_0T = jax.random.split(rng, 3)
+        if inst.sample_scheme == "exact":
+            spec = (
+                tr.batch_size_0T
+                if tr.sample_mode == "random_time"
+                else (tr.n_time_stamps, tr.sample_per_time)
+            )
+            data = {
+                "0T": inst.sample_ground_truth(rng_0T, spec),
+                "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
+            }
+        else:
+            data = {"0T": inst.sample_path_only(rng_0T, tr.batch_size_0T)}
         if self.mesh_spec is not None:
             from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 

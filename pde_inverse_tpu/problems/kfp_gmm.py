@@ -230,8 +230,34 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         * initial: multiple_init x batch_size exact draws from the t=0 law,
         * terminal: multiple_terminal x batch_size particles simulated to T,
         * path: batch_size trajectories flattened over their n_steps states.
+
+        The key layout (one 5-way split) is shared with the path-only /
+        boundary-only entry points below so the combined call stays
+        bitwise-identical to the pre-cadence implementation.
         """
         rng_traj, rng_term_sim, rng_i0, rng_i1, rng_i2 = jax.random.split(rng, 5)
+        sample_0T = self._sample_path(rng_traj, rng_i0, batch_size)
+        sample_initial, sample_terminal = self._sample_boundary(
+            rng_term_sim, rng_i1, rng_i2, batch_size
+        )
+        return sample_initial, sample_terminal, sample_0T
+
+    def sample_path_only(self, rng: jax.Array, batch_size: int):
+        """Path trajectories only — the cheap per-step part when the
+        boundary batches are refreshed on a chunk cadence
+        (solver.train.boundary_per_chunk; ROOFLINE §3: sampling is
+        boundary-dominated, the 300k-particle terminal simulation is ~30x
+        the 10k-trajectory path work)."""
+        rng_traj, _, rng_i0, _, _ = jax.random.split(rng, 5)
+        return self._sample_path(rng_traj, rng_i0, batch_size)
+
+    def sample_boundary_only(self, rng: jax.Array, batch_size: int):
+        """(initial, terminal) boundary batches only — the expensive part
+        refreshed once per chunk under solver.train.boundary_per_chunk."""
+        _, rng_term_sim, _, rng_i1, rng_i2 = jax.random.split(rng, 5)
+        return self._sample_boundary(rng_term_sim, rng_i1, rng_i2, batch_size)
+
+    def _sample_path(self, rng_traj, rng_i0, batch_size: int):
         n_steps = self.cfg.pde_instance.n_steps
         # static python float: dt is baked into the (pallas) simulator
         dt = self.cfg.pde_instance.total_evolving_time / n_steps
@@ -255,7 +281,16 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             # because every trajectory already carries its own random phase
             # tau0 ~ U[0, dt), so strided states still visit all of (0, T]
             traj = traj[:, ::stride]
-        sample_0T = traj.reshape(-1, 2 * self.dim)
+        return traj.reshape(-1, 2 * self.dim)
+
+    def _sample_boundary(self, rng_term_sim, rng_i1, rng_i2, batch_size: int):
+        n_steps = self.cfg.pde_instance.n_steps
+        dt = self.cfg.pde_instance.total_evolving_time / n_steps
+        antithetic = self.cfg.pde_instance.antithetic
+        if antithetic and batch_size % 2:
+            raise ValueError("pde_instance.antithetic needs an even batch size")
+        n_draw = batch_size // 2 if antithetic else batch_size
+        m0 = self.distribution_initial.mean
 
         if antithetic:
             # exact-Gaussian antithetic pair: z and its reflection 2m - z
@@ -286,7 +321,7 @@ class KineticFokkerPlanckGMM(ProblemInstance):
             antithetic=antithetic,
             z0_mirror=(2.0 * m0 - z0_term) if antithetic else None,
         )
-        return sample_initial, sample_terminal, sample_0T
+        return sample_initial, sample_terminal
 
     # -- offline dataset ---------------------------------------------------------
 

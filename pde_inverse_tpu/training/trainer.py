@@ -92,9 +92,13 @@ class Trainer:
             )
         track = ocfg.ema_mode == "track"
 
-        def one_step_with_dataset(carry, rng, dataset, stream_batch=None):
+        def one_step_with_dataset(
+            carry, rng, dataset, stream_batch=None, boundary=None
+        ):
             params, opt_state, ema_state, step_idx = carry
             kwargs = {} if stream_batch is None else {"stream_batch": stream_batch}
+            if boundary is not None:
+                kwargs["boundary"] = boundary
             out = self.method.value_and_grad_fn(
                 self.forward_fn, params, rng, dataset=dataset, **kwargs
             )
@@ -139,8 +143,21 @@ class Trainer:
             host-gathered per-step batches (streaming offline loader) fed
             through the scan as xs — the device holds one chunk of batches,
             never the trajectory store."""
+            boundary = None
+            if stream is None and self.cfg.solver.train.boundary_per_chunk:
+                # One boundary batch per fused chunk (the scan below reuses
+                # it every step; the per-step path batch stays fresh).  The
+                # boundary key derives from the chunk's rng INPUT, not a
+                # synthesized constant — constants created here would be
+                # hoisted out of the scan and re-enter any shard_map body
+                # with an Auto sharding (the documented trap).
+                sample_boundary = getattr(self.method, "sample_boundary", None)
+                if sample_boundary is not None:
+                    boundary = sample_boundary(jax.random.fold_in(rngs[0], 977))
             if stream is None:
-                one_step = lambda c, r: one_step_with_dataset(c, r, dataset)
+                one_step = lambda c, r: one_step_with_dataset(
+                    c, r, dataset, boundary=boundary
+                )
                 return jax.lax.scan(one_step, carry, rngs)
             one_step = lambda c, xs: one_step_with_dataset(
                 c, xs[0], dataset, stream_batch=xs[1]

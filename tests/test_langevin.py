@@ -248,3 +248,31 @@ class TestAntithetic:
         np.testing.assert_allclose(
             np.asarray(init[h:]), 2.0 * m - np.asarray(init[:h]), rtol=1e-6, atol=1e-6
         )
+
+    def test_boundary_path_split_is_bitwise(self, rng):
+        """sample_boundary_only + sample_path_only must reproduce the
+        combined sample_ground_truth bitwise (shared 5-way key layout) —
+        the chunk-cadence boundary refresh (solver.train.boundary_per_chunk)
+        must not change the sampled law."""
+        from pde_inverse_tpu.config import Config, apply_overrides
+        from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.potential=GMM",
+                "pde_instance.domain_dim=2",
+                "pde_instance.sample_mode=online",
+                "pde_instance.n_steps=6",
+            ],
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        batch = 16
+        k = jax.random.fold_in(rng, 5)
+        init, term, path = jax.jit(lambda kk: inst.sample_ground_truth(kk, batch))(k)
+        init2, term2 = jax.jit(lambda kk: inst.sample_boundary_only(kk, batch))(k)
+        path2 = jax.jit(lambda kk: inst.sample_path_only(kk, batch))(k)
+        np.testing.assert_array_equal(np.asarray(init), np.asarray(init2))
+        np.testing.assert_array_equal(np.asarray(term), np.asarray(term2))
+        np.testing.assert_array_equal(np.asarray(path), np.asarray(path2))

@@ -103,6 +103,19 @@ class TestTrainer:
         writer.close()
         assert os.path.getsize(writer.path) > 0
 
+    def test_boundary_per_chunk_recovery(self, rng):
+        """solver.train.boundary_per_chunk=True (one boundary batch per
+        fused chunk, fresh path batch per step) must train through the
+        same recovery gate as the per-step policy."""
+        cfg = _cfg(extra=("solver.train.boundary_per_chunk=True",))
+        inst, trainer = _build(cfg, rng)
+        init_err = float(
+            inst.recovered_parameter_rel_l2(jax.device_get(trainer.params))
+        )
+        params = trainer.fit()
+        final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
+        assert final_err < 0.5 * init_err, (init_err, final_err)
+
     def test_sharded_fit_runs(self, rng):
         cfg = _cfg(n_iters=20, chunk=10)
         spec = build_mesh(BackendConfig())
