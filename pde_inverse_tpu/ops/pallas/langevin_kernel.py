@@ -109,6 +109,7 @@ def _grad_fn_lane_layout(potential: Potential):
 
 def _kernel(
     seed_ref,
+    ns_ref,
     z0_ref,
     *rest,
     grad_fn_raw,
@@ -118,7 +119,6 @@ def _kernel(
     d: int,
     with_trajectory: bool,
     random_phase: bool,
-    noise_scale: float,
     integrator: str,
 ):
     *param_refs, final_ref, traj_ref, tau_ref = rest
@@ -138,8 +138,15 @@ def _kernel(
         tau0 = jnp.zeros((1, B), jnp.float32)
     tau_ref[:, :] = tau0
 
+    # noise_scale is a RUNTIME scalar (SMEM), not a compile-time constant:
+    # all scales (+1/-1 antithetic pair, 0 noiseless) share ONE compiled
+    # program, so the per-step PRNG draws are bit-identical across scales
+    # by construction — separate +-1 compilations left the pairing to the
+    # Mosaic scheduler (first on-chip antithetic gate measured a ~1e-4
+    # stream-level +/- divergence), and negation by a scalar multiply is
+    # exact in f32.  Also halves the antithetic path's kernel compiles.
     def draw(shape):
-        return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
+        return ns_ref[0] * _normal(shape)
 
     def em_step(q, p, g, step_dt):
         # step_dt: scalar or [1, B] (broadcasts over the d axis); g unused
@@ -267,6 +274,7 @@ def _grad_fn_packed(potential: Potential, pack: int, d: int):
 
 def _kernel_packed(
     seed_ref,
+    ns_ref,
     q0_ref,
     p0_ref,
     *rest,
@@ -278,7 +286,6 @@ def _kernel_packed(
     pack: int,
     with_trajectory: bool,
     random_phase: bool,
-    noise_scale: float,
     integrator: str,
 ):
     """Sublane-packed variant: q0/p0 arrive PRE-PACKED as [pack*d, B]
@@ -311,8 +318,10 @@ def _kernel_packed(
     # per-sub-block tau broadcast over its d rows: S @ tau_p
     tau0 = jnp.dot(S, tau_p, preferred_element_type=jnp.float32)
 
+    # runtime SMEM scalar — same one-program-for-all-scales rationale as
+    # the unpacked kernel's draw()
     def draw(shape):
-        return noise_scale * _normal(shape) if noise_scale else jnp.zeros(shape)
+        return ns_ref[0] * _normal(shape)
 
     def em_step(q, p, g, step_dt):
         noise = draw((rows, B))
@@ -426,7 +435,6 @@ def _langevin_pallas_packed(
         pack=pack,
         with_trajectory=return_trajectory,
         random_phase=random_phase,
-        noise_scale=noise_scale,
         integrator=integrator,
     )
 
@@ -458,6 +466,7 @@ def _langevin_pallas_packed(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
@@ -477,6 +486,7 @@ def _langevin_pallas_packed(
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(noise_scale, jnp.float32).reshape(1),
         qP,
         pP,
         *[jnp.asarray(a, zT.dtype) for a in param_arrays],
@@ -583,7 +593,6 @@ def langevin_pallas(
         d=d,
         with_trajectory=return_trajectory,
         random_phase=random_phase,
-        noise_scale=noise_scale,
         integrator=integrator,
     )
 
@@ -621,6 +630,7 @@ def langevin_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((two_d, cell), lambda i: (0, i), memory_space=pltpu.VMEM),
             *param_specs,
         ],
@@ -633,6 +643,7 @@ def langevin_pallas(
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(noise_scale, jnp.float32).reshape(1),
         zT,
         *[jnp.asarray(a, z0.dtype) for a in param_arrays],
     )
