@@ -325,11 +325,17 @@ def make_loss_fn(
         # round-3: norm explodes ~500x under wd<=1e-3); this pins exactly
         # that quantity.  Strided (deterministic) partners keep the step
         # jit-stable; coverage refreshes every step with the batch.
-        xf = x.reshape(-1, d)
+        xf = x.reshape(-1, d)  # flattened index = sample * nt + stamp
         n_pts = xf.shape[0]
         n_probe = min(field_reg_probes, n_pts)
         ii = jnp.arange(n_probe) % n_pts
-        jj = (jnp.arange(n_probe) * 7919 + n_pts // 2) % n_pts
+        # partner offset is a multiple of nt, so ii and jj share the SAME
+        # stamp (index mod nt is preserved mod n*nt) — matching the
+        # same-stamp differences the mean-field reduction actually forms.
+        # Pre-reducing the Python-int offset keeps ii + off < 2*n_pts (no
+        # int32 overflow at any probe count).
+        off = (7919 * n_time) % n_pts or n_time % n_pts
+        jj = (ii + off) % n_pts
         probe_diffs = xf[ii] - xf[jj]  # [P, d]
 
     # auto-scale the ref chunk so chunk * n * nt stays within budget

@@ -289,13 +289,32 @@ class ConsistencyBased(Method):
         step; the path batch is ~30x cheaper).  Returns None when the data
         policy has no online boundary to split (offline datasets) — the
         trainer falls back to per-step sample_data."""
+        data = self._boundary_unsharded(rng)
+        if data is not None and self.mesh_spec is not None:
+            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+
+            data = shard_tree_batches(data, self.mesh_spec)
+        return data
+
+    def sample_path(self, rng) -> Dict[str, jnp.ndarray]:
+        """Path-only per-step batch, complementing sample_boundary (the
+        online key layout is shared with sample_data by construction —
+        both compose the same _boundary/_path helpers)."""
+        data = self._path_unsharded(rng)
+        if self.mesh_spec is not None:
+            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+
+            data = shard_tree_batches(data, self.mesh_spec)
+        return data
+
+    def _boundary_unsharded(self, rng):
         inst = self.pde_instance
         tr = self.cfg.solver.train
         if inst.sample_mode != "online":
             return None
         rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
         if inst.sample_scheme == "exact":
-            data = {
+            return {
                 "initial": inst.distribution_initial.sample(
                     tr.batch_size_init, rng_init
                 ),
@@ -303,20 +322,16 @@ class ConsistencyBased(Method):
                     tr.batch_size_terminal, rng_term
                 ),
             }
-        elif inst.sample_scheme == "SDE" and hasattr(inst, "sample_boundary_only"):
+        if (
+            inst.sample_scheme == "SDE"
+            and hasattr(inst, "sample_boundary_only")
+            and hasattr(inst, "sample_path_only")
+        ):
             initial, terminal = inst.sample_boundary_only(rng_0T, tr.batch_size_0T)
-            data = {"initial": initial, "terminal": terminal}
-        else:
-            return None
-        if self.mesh_spec is not None:
-            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
+            return {"initial": initial, "terminal": terminal}
+        return None
 
-            data = shard_tree_batches(data, self.mesh_spec)
-        return data
-
-    def sample_path(self, rng) -> Dict[str, jnp.ndarray]:
-        """Path-only per-step batch, complementing sample_boundary (same
-        online key layout as _sample_data_unsharded)."""
+    def _path_unsharded(self, rng):
         inst = self.pde_instance
         tr = self.cfg.solver.train
         _, _, rng_0T = jax.random.split(rng, 3)
@@ -326,40 +341,27 @@ class ConsistencyBased(Method):
                 if tr.sample_mode == "random_time"
                 else (tr.n_time_stamps, tr.sample_per_time)
             )
-            data = {
+            return {
                 "0T": inst.sample_ground_truth(rng_0T, spec),
                 "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
             }
-        else:
-            data = {"0T": inst.sample_path_only(rng_0T, tr.batch_size_0T)}
-        if self.mesh_spec is not None:
-            from pde_inverse_tpu.parallel.mesh import shard_tree_batches
-
-            data = shard_tree_batches(data, self.mesh_spec)
-        return data
+        return {"0T": inst.sample_path_only(rng_0T, tr.batch_size_0T)}
 
     def _sample_data_unsharded(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
         inst = self.pde_instance
         tr = self.cfg.solver.train
         if inst.sample_mode == "online":
-            rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
-            if inst.sample_scheme == "exact":
-                spec = (
-                    tr.batch_size_0T
-                    if tr.sample_mode == "random_time"
-                    else (tr.n_time_stamps, tr.sample_per_time)
-                )
-                return {
-                    "initial": inst.distribution_initial.sample(
-                        tr.batch_size_init, rng_init
-                    ),
-                    "terminal": inst.distribution_terminal.sample(
-                        tr.batch_size_terminal, rng_term
-                    ),
-                    "0T": inst.sample_ground_truth(rng_0T, spec),
-                    "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
-                }
+            # one key layout for all online sampling: the boundary/path
+            # helpers below are the single source of truth, so the
+            # chunk-cadence composition ({**boundary, **path}) samples the
+            # exact same law as the per-step policy (bitwise — see
+            # tests/test_langevin.py::test_boundary_path_split_is_bitwise).
+            boundary = self._boundary_unsharded(rng)
+            if boundary is not None:
+                return {**boundary, **self._path_unsharded(rng)}
             if inst.sample_scheme == "SDE":
+                # SDE instance without split entry points: combined call
+                _, _, rng_0T = jax.random.split(rng, 3)
                 initial, terminal, path = inst.sample_ground_truth(
                     rng_0T, tr.batch_size_0T
                 )

@@ -253,17 +253,29 @@ class TestKMVLoss:
         n_pts = xf.shape[0]
         n_p = min(n_probe, n_pts)
         ii = jnp.arange(n_p) % n_pts
-        jj = (jnp.arange(n_p) * 7919 + n_pts // 2) % n_pts
+        off = (7919 * nt) % n_pts or nt % n_pts
+        jj = (ii + off) % n_pts
+        # the offset is a multiple of nt => probe pairs share a stamp
+        assert off % nt == 0
         probes = xf[ii] - xf[jj]
         g = jax.vmap(jax.grad(lambda xi: net.apply(params, xi)[0]))(probes)
         expected = lam * jnp.mean(jnp.sum(g**2, -1))
 
         np.testing.assert_allclose(l1 - l0, expected, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(gap0, gap1, rtol=1e-6)
-        grads = jax.grad(lambda p: reg(p)[0])(params)
-        assert jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(jnp.abs(b)), grads, 0.0
-        ) > 0.0
+        # the penalty must reach the PARAMETER gradient: grads of the
+        # regularized and base losses must differ (a stop_gradient'ed
+        # penalty would pass the value check above but not this)
+        g_reg = jax.grad(lambda p: reg(p)[0])(params)
+        g_base = jax.grad(lambda p: base(p)[0])(params)
+        diff = jax.tree_util.tree_reduce(
+            jnp.add,
+            jax.tree_util.tree_map(
+                lambda a, b: jnp.sum(jnp.abs(a - b)), g_reg, g_base
+            ),
+            jnp.zeros(()),
+        )
+        assert float(diff) > 1e-8
 
     def test_closed_form_quadratic_matches_pairwise(self, rng):
         """The O(n) sufficient-statistics fast path for exactly-quadratic
