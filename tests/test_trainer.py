@@ -116,8 +116,19 @@ class TestTrainer:
         final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
         assert final_err < 0.5 * init_err, (init_err, final_err)
 
-    def test_sharded_fit_runs(self, rng):
-        cfg = _cfg(n_iters=20, chunk=10)
+    @pytest.mark.parametrize("boundary_per_chunk", [False, True])
+    def test_sharded_fit_runs(self, rng, boundary_per_chunk):
+        """Sharded fit, with and without the chunk-cadence boundary refresh
+        (the cadence's boundary batch is sampled inside the jitted chunk
+        and sharded by NamedSharding constraints — must not trip the
+        constant-hoisting/Manual-context trap)."""
+        cfg = _cfg(
+            n_iters=20,
+            chunk=10,
+            extra=(
+                f"solver.train.boundary_per_chunk={boundary_per_chunk}",
+            ),
+        )
         spec = build_mesh(BackendConfig())
         inst, trainer = _build(cfg, rng, mesh_spec=spec)
         params = trainer.fit()
