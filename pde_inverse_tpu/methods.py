@@ -81,6 +81,20 @@ class ConsistencyBased(Method):
                 "tunneled TPU worker (observed round 3; chunk=5 runs). "
                 "Set train.steps_per_chunk=5 for this path."
             )
+        if (
+            self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov"
+            and self.cfg.estimation_mode == "non-parametric"
+            and self.cfg.train.optimizer.weight_decay < 1e-1
+            and tr.kmv_field_reg <= 0.0
+        ):
+            print(
+                "[warn] non-parametric KMV without a stabilizer: the "
+                "weak-form loss's linear-in-Phi terms leave unbounded "
+                "finite-sample descent directions (README: field norm "
+                "explodes ~500x under wd<=1e-3 within ~1k steps). Set "
+                "train.optimizer.weight_decay=1e-1 or "
+                "solver.train.kmv_field_reg>0."
+            )
         z = self.pde_instance.distribution_initial.sample(1, jax.random.PRNGKey(1))[0]
         if self.cfg.pde_instance.name.startswith("Kinetic"):
             x = jnp.split(z, 2, axis=-1)[0]
