@@ -132,6 +132,15 @@ class SolverTrainConfig:
     kmv_field_reg: float = 0.0
     # Probe pairs for the field regularizer (O(probes) extra evals/step).
     kmv_field_reg_probes: int = 4096
+    # Cosine-anneal the field regularizer strength from kmv_field_reg down
+    # to kmv_field_reg_floor over this many steps (then hold the floor).
+    # Rationale: the stabilizer is needed early, while the weak form's
+    # finite-sample descent directions dominate, but it Tikhonov-biases
+    # the recovered field late (fourier-kernel CPU probes plateau at
+    # rel 0.35-0.42 under constant lambda=1e-2 regardless of lr decay).
+    # 0 keeps lambda constant.
+    kmv_field_reg_decay_steps: int = 0
+    kmv_field_reg_floor: float = 0.0
     # Estimator lever (ROOFLINE §3): refresh the boundary batches (initial
     # draws + terminal SDE simulation — the dominant sampling cost at the
     # np production geometry, ~27% of the step) once per fused scan chunk

@@ -315,7 +315,12 @@ def make_loss_fn(
     refs = x  # empirical mean-field measure = the samples themselves
 
     probe_diffs = None
-    if field_reg > 0.0:
+    # field_reg may arrive as a traced scalar (step-annealed lambda from
+    # methods.value_and_grad_fn); only a static Python 0/negative disables.
+    field_reg_on = not (
+        isinstance(field_reg, (int, float)) and field_reg <= 0.0
+    )
+    if field_reg_on:
         # Fixed strided probe pairs from the batch itself: the penalty
         # lambda * mean ||grad Phi(x_i - x_j)||^2 measures the gradient
         # FIELD on the same difference cloud the mean-field convolution

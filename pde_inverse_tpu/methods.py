@@ -34,7 +34,9 @@ class Method:
     cfg: Config
     rng: jax.Array
 
-    def value_and_grad_fn(self, forward_fn, params, rng) -> Dict[str, Any]:
+    def value_and_grad_fn(
+        self, forward_fn, params, rng, step=None
+    ) -> Dict[str, Any]:
         raise NotImplementedError
 
     def test_fn(self, forward_fn, params, rng) -> Dict[str, Any]:
@@ -172,6 +174,7 @@ class ConsistencyBased(Method):
         dataset=None,
         stream_batch=None,
         boundary=None,
+        step=None,
     ):
         rng_sample, rng_vg = jax.random.split(rng)
         if stream_batch is not None:
@@ -203,7 +206,19 @@ class ConsistencyBased(Method):
                 kwargs["closed_form_quadratic"] = True
             kwargs["element_budget"] = self.cfg.solver.train.kmv_element_budget
             if self.cfg.solver.train.kmv_field_reg > 0.0:
-                kwargs["field_reg"] = self.cfg.solver.train.kmv_field_reg
+                lam = self.cfg.solver.train.kmv_field_reg
+                decay = self.cfg.solver.train.kmv_field_reg_decay_steps
+                if decay > 0 and step is not None:
+                    # cosine-anneal the stabilizer strength lam -> floor
+                    # over `decay` steps (traced scalar; jit-stable)
+                    floor = self.cfg.solver.train.kmv_field_reg_floor
+                    frac = jnp.clip(
+                        jnp.asarray(step, jnp.float32) / decay, 0.0, 1.0
+                    )
+                    lam = floor + (lam - floor) * 0.5 * (
+                        1.0 + jnp.cos(jnp.pi * frac)
+                    )
+                kwargs["field_reg"] = lam
                 kwargs["field_reg_probes"] = (
                     self.cfg.solver.train.kmv_field_reg_probes
                 )

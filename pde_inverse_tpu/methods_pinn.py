@@ -100,7 +100,7 @@ class PINN(Method):
         diffusion = lap_lr + jnp.sum(g_lr * g_lr, axis=-1)
         return dt_lr - transport - diffusion
 
-    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None):
+    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None, step=None):
         inst = self.pde_instance
         n_t = self.cfg.solver.train.n_time_stamps
         n_x = self.cfg.solver.train.sample_per_time
@@ -200,7 +200,7 @@ class PINNKinetic(Method):
         )
         return dt_lr + transport - collision
 
-    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None):
+    def value_and_grad_fn(self, forward_fn, params, rng, dataset=None, step=None):
         inst = self.pde_instance
         n_t = self.cfg.solver.train.n_time_stamps
         n_z = self.cfg.solver.train.sample_per_time

@@ -100,7 +100,12 @@ class Trainer:
             if boundary is not None:
                 kwargs["boundary"] = boundary
             out = self.method.value_and_grad_fn(
-                self.forward_fn, params, rng, dataset=dataset, **kwargs
+                self.forward_fn,
+                params,
+                rng,
+                dataset=dataset,
+                step=step_idx,
+                **kwargs,
             )
             grad = out.pop("grad")
             updates, opt_state = opt.update(grad, opt_state, params)

@@ -349,6 +349,61 @@ class TestKMVLoss:
         method_np.create_model_fn()
         assert not method_np._kmv_closed_form()
 
+    def test_field_reg_cosine_anneal_matches_constant_lambda(self, rng):
+        """kmv_field_reg_decay_steps cosine-anneals the stabilizer strength
+        from kmv_field_reg to kmv_field_reg_floor: the step-annealed loss at
+        step s equals the constant-lambda loss evaluated at lambda(s), for
+        lambda(0)=lam0, lambda(D/2)=(lam0+floor)/2, lambda(>=D)=floor."""
+        from pde_inverse_tpu.config import apply_overrides
+        from pde_inverse_tpu.methods import ConsistencyBased
+
+        lam0, floor, D = 0.32, 0.02, 100
+
+        def build(overrides):
+            cfg = _cfg(
+                "Kinetic-McKean-Vlasov",
+                2,
+                **{
+                    "estimation_mode": "non-parametric",
+                    "neural_network.hidden_dim": 8,
+                    "neural_network.layers": 2,
+                    "neural_network.feature_dim": 8,
+                    "solver.train.n_time_stamps": 3,
+                    "solver.train.sample_per_time": 16,
+                    "solver.train.kmv_field_reg_probes": 32,
+                },
+            )
+            cfg = apply_overrides(cfg, overrides)
+            inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+            method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+            net, params = method.create_model_fn()
+            return method, net, params
+
+        annealed, net, params = build(
+            [
+                f"solver.train.kmv_field_reg={lam0}",
+                f"solver.train.kmv_field_reg_decay_steps={D}",
+                f"solver.train.kmv_field_reg_floor={floor}",
+            ]
+        )
+        key = jax.random.PRNGKey(7)
+        for s, lam_s in [
+            (0, lam0),
+            (D // 2, 0.5 * (lam0 + floor)),
+            (D, floor),
+            (3 * D, floor),
+        ]:
+            const, _, _ = build([f"solver.train.kmv_field_reg={lam_s}"])
+            # same rng => identical sampled batch; traced step as the
+            # trainer's scan carry passes it
+            loss_a = jax.jit(
+                lambda p, k, st: annealed.value_and_grad_fn(
+                    net.apply, p, k, step=st
+                )["loss"]
+            )(params, key, jnp.asarray(s, jnp.int32))
+            loss_c = const.value_and_grad_fn(net.apply, params, key)["loss"]
+            np.testing.assert_allclose(loss_a, loss_c, rtol=1e-6, atol=1e-7)
+
 
 class TestSampleDataPolicy:
     def test_online_exact_grid(self, rng):
