@@ -199,9 +199,11 @@ class NetworkConfig:
     quadratic_head: bool = False
     # Compute dtype for the MLP hidden path ("float32" | "bfloat16").
     dtype: str = "float32"
-    # fourier-kernel model only: train the frequencies (see
-    # models/fourier_kernel.py for the finite-sample failure mode this
-    # opens; default keeps the classic fixed-random-features setting).
+    # fourier-kernel model only: train the frequencies.  Measured lever
+    # past the fixed-feature ~0.4 plateau when paired with
+    # solver.train.kmv_field_reg (0.227 at K=512 vs 0.35-0.42 fixed;
+    # see models/fourier_kernel.py for the failure mode field_reg pins).
+    # Default keeps the classic fixed-random-features setting.
     fourier_trainable: bool = False
 
 

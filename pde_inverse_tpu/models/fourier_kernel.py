@@ -64,8 +64,14 @@ class FourierKernelModel(nn.Module):
     # characteristic function at high |w|, so amplitudes at large
     # frequencies ride sampling noise downhill without bound (observed:
     # |amps| grows linearly, gap diverges).  Decoupled weight decay tames
-    # it; freezing the frequencies (classic random-features setting)
-    # removes the migration channel altogether.
+    # it only by collapsing the field to zero (bounded features need
+    # weights ~1/scale^2 to express a growing truth); the field-space
+    # Tikhonov stabilizer (solver.train.kmv_field_reg) pins the failure
+    # mode without the collapse, and with it trainable frequencies are
+    # the measured lever past the fixed-feature ~0.4 rel-L2 plateau:
+    # 0.278 (K=256) / 0.227 (K=512) vs 0.70 for a bigger FIXED map
+    # (K=1024) at the same 7x200 probe geometry — adaptivity, not
+    # capacity, is what buys accuracy in this class.
     trainable_frequencies: bool = False
 
     @nn.compact
