@@ -41,9 +41,12 @@ def _cfg(*extra):
     )
 
 
-def _setup(rng, n=14, nt=2, dim=2, quad=True, K=16):
+def _setup(rng, n=14, nt=2, dim=2, quad=True, K=16, trainable=False):
     inst = KineticMcKeanVlasovQuadratic(_cfg(), rng)
-    net = FourierKernelModel(dim=dim, n_features=K, quadratic_head=quad)
+    net = FourierKernelModel(
+        dim=dim, n_features=K, quadratic_head=quad,
+        trainable_frequencies=trainable,
+    )
     params = net.init(jax.random.PRNGKey(0), jnp.zeros(dim))
     # non-degenerate amplitudes for a meaningful gate
     p = dict(params["params"])
@@ -82,10 +85,16 @@ class TestFourierMeanfield:
         np.testing.assert_allclose(stats["nabla"], nab, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(stats["hess"], hes, rtol=1e-4, atol=1e-5)
 
-    def test_loss_and_grad_match_generic(self, rng):
+    @pytest.mark.parametrize("trainable", [False, True])
+    def test_loss_and_grad_match_generic(self, rng, trainable):
         """Full KMV loss + parameter gradients: collapse vs the generic
-        pairwise reduction on the same FourierKernelModel."""
-        inst, net, params, data = _setup(rng)
+        pairwise reduction on the same FourierKernelModel.  With
+        trainable_frequencies=True (the production FK recipe — see
+        README's trainable-frequency result) the omega cotangent flows
+        through the sufficient statistics C, S as well as the x-phases;
+        this gates that the collapsed d(loss)/d(omega) matches the
+        brute-force pairwise autodiff, not just the amplitude grads."""
+        inst, net, params, data = _setup(rng, trainable=trainable)
         out_gen = kmv_loss.value_and_grad_fn(
             net.apply, params, data, rng, inst
         )
@@ -106,6 +115,13 @@ class TestFourierMeanfield:
             jax.tree_util.tree_leaves(out_gen["grad"]),
         ):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+        g_omega = out_fast["grad"]["params"]["omega"]
+        if trainable:
+            # the gate above is only meaningful if omega actually
+            # receives a cotangent in this mode
+            assert float(jnp.max(jnp.abs(g_omega))) > 1e-6
+        else:
+            np.testing.assert_allclose(g_omega, jnp.zeros_like(g_omega))
 
     def test_method_dispatch_and_training_smoke(self, rng):
         """ConsistencyBased + factory route neural_network.model=
