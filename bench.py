@@ -21,6 +21,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -270,6 +271,44 @@ def bench_np_step(n_steps=60, chunk=20, windows=3, kfp_fused="auto"):
     return rate, rates, flops_per_step, mfu, bench_ours.last_cost_per_step
 
 
+def bench_fk_step(n_steps=60, chunk=20, windows=3, collapse=True):
+    """Non-parametric KMV interaction-kernel row: the Fourier-kernel
+    hypothesis (preset KMV-nonparametric-fourier, trainable K=512 at
+    7x2000) through its exact O((n+m)K) mean-field collapse
+    (losses/fourier_meanfield.py) vs the same model driven through the
+    generic O(n^2) pairwise reduction (collapse=False) — the measured
+    price of a pairwise grid the TPU-native design eliminates."""
+    from pde_inverse_tpu.config import preset
+    from pde_inverse_tpu.methods import ConsistencyBased
+    from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+    from pde_inverse_tpu.training.optimizers import get_optimizer
+
+    cfg = preset(
+        "KMV-nonparametric-fourier",
+        []
+        if collapse
+        else [
+            "solver.train.kmv_blockwise=False",
+            # the element budget counts PAIRS; the K=512 featurization
+            # multiplies each pair's live footprint, so the generic-path
+            # comparison needs a much smaller pair budget to fit memory
+            "solver.train.kmv_element_budget=200000",
+        ],
+    )
+    rng = jax.random.PRNGKey(0)
+    inst = KineticMcKeanVlasovQuadratic(cfg, jax.random.split(rng, 4)[0])
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+    net, params = method.create_model_fn()
+    opt = get_optimizer(cfg.train.optimizer)
+    out = bench_ours(
+        method, net, params, opt, n_steps=n_steps, chunk=chunk, windows=windows
+    )
+    # bench_ours returns (rate, flops) for windows==1, + per-window list otherwise
+    rate, flops_per_step = out[0], out[1]
+    rates = out[2] if len(out) > 2 else [round(rate, 2)]
+    return rate, rates, flops_per_step
+
+
 def main():
     from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
@@ -348,6 +387,29 @@ def main():
     except Exception as e:  # pragma: no cover
         result["np"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # non-parametric KMV row: the Fourier-kernel mean-field collapse
+    # (production trainable-frequency recipe).  The generic-pairwise
+    # comparison on the same hypothesis is available via
+    # `python bench.py --fk-pairwise` only: autodiff through the K-wide
+    # featurization on pair grids compiles for minutes, which would blow
+    # the driver's bench budget for a number that never changes.
+    try:
+        fk_rate, fk_windows, _ = bench_fk_step()
+        result["fk"] = {
+            "metric": "KMV non-parametric fourier-kernel step (7x2000, K=512)",
+            "steps_per_sec": round(fk_rate, 3),
+            "steps_per_sec_windows": fk_windows,
+            "ms_per_step": round(1e3 / fk_rate, 2),
+        }
+        if "--fk-pairwise" in sys.argv:
+            pw_rate, _, _ = bench_fk_step(
+                n_steps=4, chunk=2, windows=1, collapse=False
+            )
+            result["fk"]["pairwise_steps_per_sec"] = round(pw_rate, 4)
+            result["fk"]["collapse_speedup"] = round(fk_rate / pw_rate, 1)
+    except Exception as e:  # pragma: no cover
+        result["fk"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # saturation probe: the large-batch end of the --scaling sweep (the
     # knee context for the headline row without the full sweep's runtime)
     try:
@@ -394,8 +456,6 @@ def scaling():
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--scaling" in sys.argv:
         scaling()
     else:
