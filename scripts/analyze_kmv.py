@@ -1,0 +1,144 @@
+"""Post-hoc analysis of a non-parametric KMV interaction-kernel
+checkpoint: where does the remaining gradient error live?
+
+The KMV weak-form loss constrains grad Phi only through the mean-field
+convolution over pairwise differences of path samples; the headline
+metric (losses/kinetic_mckean_vlasov.py::test_fn) evaluates exactly that
+argument distribution.  This script loads the latest Orbax checkpoint,
+re-evaluates the interaction-gradient rel-L2 on a LARGE independent probe
+(50k differences x 8 stamps by default), and bins the error by |y| (the
+radius of the difference argument) — the direct test of the
+bounded-feature tail-error mechanism documented in README (fixed random
+cos features approximate a linearly growing gradient only on a bounded
+region; trainable frequencies are the lever).
+
+Usage:
+  python scripts/analyze_kmv.py /tmp/r3_kmv_fk_trainable_ckpt
+  python scripts/analyze_kmv.py /tmp/a,/tmp/b  preset=KMV \
+      estimation_mode=non-parametric neural_network.hidden_dim=32 ...
+
+The first positional is one checkpoint dir or a comma-separated list
+(members are AVERAGED in gradient-field space, like analyze_np.py).
+Remaining args are config overrides; `preset=NAME` selects the base
+preset (default KMV-nonparametric-fourier — the production FK recipe, so
+FK checkpoints need no overrides).  Reference analogue: none (the
+reference's KMV test_fn returns {},
+/root/reference/methods/consistency_instances/kinetic_mckean_vlasov.py).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_inverse_tpu.config import preset
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.ops import autodiff as ad
+from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+
+def _load_checkpoint_params(ckpt_dir: str):
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    restored = mgr.restore(step)
+    print(f"restored step {step} from {ckpt_dir}")
+    return jax.tree_util.tree_map(jnp.asarray, restored["params"])
+
+
+def main(ckpt_dirs: str, overrides):
+    enable_compilation_cache()
+    preset_name = "KMV-nonparametric-fourier"
+    rest = []
+    for o in overrides:
+        if o.startswith("preset="):
+            preset_name = o.split("=", 1)[1]
+        else:
+            rest.append(o)
+    cfg = preset(preset_name, rest)
+
+    rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
+    inst = KineticMcKeanVlasovQuadratic(cfg, rng_problem)
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
+    net, _ = method.create_model_fn()
+
+    dirs = [d for d in ckpt_dirs.split(",") if d]
+    members = [_load_checkpoint_params(d) for d in dirs]
+    if len(members) > 1:
+        print(f"ensemble of {len(members)} members: averaged gradient field")
+
+    # Probe: same argument distribution as the headline test_fn (pairwise
+    # differences of exact path samples across the horizon), independent
+    # key, larger batch.
+    batch, n_times = 50_000, 8
+    rng_t, rng_z, rng_perm = jax.random.split(jax.random.PRNGKey(123), 3)
+    ts = inst.distribution_time.sample(n_times, rng_t)
+    means, covs = inst.oracle.moments_grid(ts)
+    chols = jnp.linalg.cholesky(covs)
+    eps = jax.random.normal(rng_z, (batch, n_times, means.shape[-1]))
+    z = jnp.einsum("tij,ntj->nti", chols, eps) + means
+    x = z[..., : inst.dim].reshape(-1, inst.dim)
+    partner = jax.random.permutation(rng_perm, x.shape[0])
+    diff = x - x[partner]
+
+    @jax.jit
+    def fields(y):
+        preds = [
+            ad.batched_grad(lambda yi: net.apply(p, yi)[0], y) for p in members
+        ]
+        return sum(preds) / len(preds), ad.batched_grad(inst.Phi_true_fn, y)
+
+    pred, true = fields(diff)
+    num = jnp.sum((pred - true) ** 2, -1)
+    den = jnp.mean(jnp.sum(true**2, -1))
+    if len(members) > 1:
+        for d, p in zip(dirs, members):
+            mp = jax.jit(
+                lambda y, p: ad.batched_grad(lambda yi: net.apply(p, yi)[0], y)
+            )(diff, p)
+            r = float(jnp.sqrt(jnp.mean(jnp.sum((mp - true) ** 2, -1)) / den))
+            print(f"  member {d}: interaction-gradient rel-L2 {r:.4e}")
+    print(
+        "interaction-gradient rel-L2 "
+        f"({batch*n_times} diffs, {n_times} stamps): "
+        f"{float(jnp.sqrt(jnp.mean(num) / den)):.4e}"
+    )
+
+    # Scale-vs-distortion split (same diagnostic as analyze_np.py): best
+    # scalar c for c*grad Phi — c<1 with a big drop = coherent shrinkage
+    # (wd pull / field-reg bias), c~1 = distributed distortion.
+    c = float(jnp.sum(pred * true) / jnp.sum(pred * pred))
+    resc = float(jnp.sqrt(jnp.mean(jnp.sum((c * pred - true) ** 2, -1)) / den))
+    print(f"best scalar rescale c={c:.4f}; rescaled rel-L2: {resc:.4e}")
+
+    # Radius-binned error: |y| quantile bins.  For the quadratic truth
+    # |grad Phi_true| grows linearly in |y|, so per-bin rel-L2 uses the
+    # PER-BIN true norm — a flat profile means uniform relative accuracy;
+    # rising outer bins = the bounded-feature tail mechanism.
+    r_np = np.asarray(jnp.linalg.norm(diff, axis=-1))
+    num_np, true_np = np.asarray(num), np.asarray(jnp.sum(true**2, -1))
+    qs = np.quantile(r_np, [0.0, 0.5, 0.9, 0.99, 1.0])
+    print(f"|y| quantiles (0/50/90/99/100%): {np.round(qs, 3)}")
+    for lo, hi, label in [
+        (0.0, qs[1], "nearest 50%"),
+        (qs[1], qs[2], "50-90%"),
+        (qs[2], qs[3], "90-99%"),
+        (qs[3], np.inf, "farthest 1%"),
+    ]:
+        m = (r_np >= lo) & (r_np < hi)
+        if m.sum():
+            r = float(np.sqrt(num_np[m].mean() / true_np[m].mean()))
+            print(
+                f"  rel-L2 (per-bin norm), {label:12s} (|y| in [{lo:.2f},"
+                f" {min(hi, r_np.max()):.2f})): {r:.4e}  [{m.sum()} pts]"
+            )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
