@@ -141,6 +141,14 @@ class SolverTrainConfig:
     # 0 keeps lambda constant.
     kmv_field_reg_decay_steps: int = 0
     kmv_field_reg_floor: float = 0.0
+    # Semiparametric variant (fourier-kernel hypothesis only): apply the
+    # field regularizer to the bounded Fourier correction's gradient
+    # alone, leaving the quadratic head's parametric gradient A^T A y + c
+    # unpenalized — the penalty exists to pin the Fourier features'
+    # finite-sample noise-riding mode, and applied to the full field it
+    # Tikhonov-shrinks the head toward zero on the probe cloud
+    # (losses/fourier_meanfield.py::fourier_grad).
+    kmv_field_reg_fourier_only: bool = False
     # Estimator lever (ROOFLINE §3): refresh the boundary batches (initial
     # draws + terminal SDE simulation — the dominant sampling cost at the
     # np production geometry, ~27% of the step) once per fused scan chunk

@@ -36,6 +36,33 @@ def supports(module) -> bool:
     return isinstance(module, FourierKernelModel)
 
 
+def fourier_grad(module, params, y):
+    """Gradient of the FOURIER COMPONENT of Phi only, grad_y [a.cos(yW^T)
+    + b.sin(yW^T)] = sum_k (b_k cos(w_k.y) - a_k sin(w_k.y)) w_k, for
+    y [P, d] -> [P, d].
+
+    Used by the semiparametric variant of the field-space Tikhonov
+    stabilizer (solver.train.kmv_field_reg_fourier_only): the penalty
+    lambda*E||grad Phi||^2 exists to pin the bounded Fourier features'
+    finite-sample noise-riding mode, but applied to the FULL field it
+    also Tikhonov-shrinks the quadratic head's growing gradient
+    A^T A y + c — a bias on exactly the parametric component the head
+    exists to recover.  Regularize the non-parametric correction, leave
+    the parametric base unpenalized (standard semiparametric practice).
+    Equality vs autodiff of a head-free twin module is gated in
+    tests/test_fourier_kernel.py."""
+    import jax
+
+    p = _unwrap(params)
+    omega = p["omega"]
+    if not module.trainable_frequencies:
+        omega = jax.lax.stop_gradient(omega)
+    a = p["amp_cos"]
+    b = p["amp_sin"]
+    py = y @ omega.T  # [P, K]
+    return (b * jnp.cos(py) - a * jnp.sin(py)) @ omega
+
+
 def meanfield_stats(module, params, x, v, refs):
     """x, v: [n, nt, d]; refs: [m, nt, d].  Returns the same pytree as the
     pairwise paths: {"nabla" [n, nt, d], "hess" [n, nt], "value" [n, nt]}

@@ -273,6 +273,7 @@ def make_loss_fn(
     pallas_mode: str = "auto",
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
+    field_reg_fourier_only: bool = False,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -426,8 +427,26 @@ def make_loss_fn(
         loss_value = jnp.mean(stats["value"] * weights)
         loss = loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
         if probe_diffs is not None:
-            Phi = lambda xi: forward_fn(params, xi)[0]
-            grad_probe = ad.batched_grad(Phi, probe_diffs)  # [P, d]
+            if field_reg_fourier_only:
+                # semiparametric: pin only the bounded Fourier correction,
+                # leave the quadratic head's parametric gradient
+                # unpenalized (see fourier_meanfield.fourier_grad).
+                from pde_inverse_tpu.losses import fourier_meanfield as fmf
+
+                if blockwise_module is None or not fmf.supports(
+                    blockwise_module
+                ):
+                    raise ValueError(
+                        "kmv_field_reg_fourier_only requires the "
+                        "fourier-kernel hypothesis (neural_network.model="
+                        "fourier-kernel with kmv_blockwise on)"
+                    )
+                grad_probe = fmf.fourier_grad(
+                    blockwise_module, params, probe_diffs
+                )
+            else:
+                Phi = lambda xi: forward_fn(params, xi)[0]
+                grad_probe = ad.batched_grad(Phi, probe_diffs)  # [P, d]
             loss = loss + field_reg * jnp.mean(
                 jnp.sum(grad_probe**2, axis=-1)
             )
@@ -451,6 +470,7 @@ def value_and_grad_fn(
     pallas_mode: str = "auto",
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
+    field_reg_fourier_only: bool = False,
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -464,6 +484,7 @@ def value_and_grad_fn(
         pallas_mode=pallas_mode,
         field_reg=field_reg,
         field_reg_probes=field_reg_probes,
+        field_reg_fourier_only=field_reg_fourier_only,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

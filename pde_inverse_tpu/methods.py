@@ -222,6 +222,8 @@ class ConsistencyBased(Method):
                 kwargs["field_reg_probes"] = (
                     self.cfg.solver.train.kmv_field_reg_probes
                 )
+                if self.cfg.solver.train.kmv_field_reg_fourier_only:
+                    kwargs["field_reg_fourier_only"] = True
             if (
                 "closed_form_quadratic" not in kwargs
                 and self.cfg.solver.train.kmv_blockwise

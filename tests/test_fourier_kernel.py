@@ -123,6 +123,80 @@ class TestFourierMeanfield:
         else:
             np.testing.assert_allclose(g_omega, jnp.zeros_like(g_omega))
 
+    def test_fourier_grad_matches_headfree_autodiff(self, rng):
+        """fourier_grad == autodiff gradient of a head-FREE twin module
+        sharing the same Fourier params (the quadratic head is exactly
+        what the semiparametric regularizer excludes)."""
+        _, net, params, _ = _setup(rng, quad=True)
+        y = jax.random.normal(jax.random.PRNGKey(7), (33, 2)) * 2.0
+        got = fmf.fourier_grad(net, params, y)
+        twin = FourierKernelModel(
+            dim=2, n_features=16, quadratic_head=False
+        )
+        p = {
+            "params": {
+                k: params["params"][k]
+                for k in ("omega", "amp_cos", "amp_sin")
+            }
+        }
+        want = ad.batched_grad(lambda yi: twin.apply(p, yi)[0], y)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_field_reg_fourier_only_loss_semantics(self, rng):
+        """(a) head OFF: the fourier-only penalty equals the standard
+        full-field penalty (no head to exclude — identical loss);
+        (b) head ON with nonzero quad params: the fourier-only loss
+        differs from full-field by exactly lambda * E||grad_quad||^2's
+        cross+square contribution (checked as strict inequality of the
+        penalties, plus exact reconstruction of the penalty gap)."""
+        lam = 0.37
+        inst, net_nohead, params0, data = _setup(rng, quad=False)
+        common = dict(
+            data=data, pde_instance=inst, field_reg=lam,
+            field_reg_probes=64,
+        )
+        l_std = kmv_loss.make_loss_fn(
+            net_nohead.apply, blockwise_module=net_nohead, **common
+        )
+        l_fonly = kmv_loss.make_loss_fn(
+            net_nohead.apply, blockwise_module=net_nohead,
+            field_reg_fourier_only=True, **common
+        )
+        np.testing.assert_allclose(
+            l_fonly(params0)[0], l_std(params0)[0], rtol=1e-6
+        )
+
+        _, net_head, params_h, _ = _setup(rng, quad=True)
+        ph = dict(params_h["params"])
+        ph["quad_A"] = 0.5 * jnp.eye(2) + 0.1
+        ph["quad_b"] = jnp.array([0.2, -0.1])
+        params_h = {"params": ph}
+        lh_std = kmv_loss.make_loss_fn(
+            net_head.apply, blockwise_module=net_head, **common
+        )
+        lh_fonly = kmv_loss.make_loss_fn(
+            net_head.apply, blockwise_module=net_head,
+            field_reg_fourier_only=True, **common
+        )
+        full, fonly = float(lh_std(params_h)[0]), float(lh_fonly(params_h)[0])
+        assert full != pytest.approx(fonly), "head should change the penalty"
+        # reconstruct: full - fonly = lam * E[||g_f + g_q||^2 - ||g_f||^2]
+        x, _ = jnp.split(data["0T"], 2, -1)
+        nt = data["tau_0T"].shape[0]
+        xf = x.reshape(-1, nt, 2).reshape(-1, 2)
+        n_pts = xf.shape[0]
+        ii = jnp.arange(min(64, n_pts)) % n_pts
+        off = (7919 * nt) % n_pts or nt % n_pts
+        probe = xf[ii] - xf[(ii + off) % n_pts]
+        g_f = fmf.fourier_grad(net_head, params_h, probe)
+        g_full = ad.batched_grad(
+            lambda yi: net_head.apply(params_h, yi)[0], probe
+        )
+        gap_want = lam * float(
+            jnp.mean(jnp.sum(g_full**2, -1) - jnp.sum(g_f**2, -1))
+        )
+        np.testing.assert_allclose(full - fonly, gap_want, rtol=1e-4)
+
     def test_method_dispatch_and_training_smoke(self, rng):
         """ConsistencyBased + factory route neural_network.model=
         fourier-kernel through the collapse; a short jitted optimization
