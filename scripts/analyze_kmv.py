@@ -61,15 +61,26 @@ def main(ckpt_dirs: str, overrides):
             preset_name = o.split("=", 1)[1]
         else:
             rest.append(o)
+    dirs = [d for d in ckpt_dirs.split(",") if d]
+    members = [_load_checkpoint_params(d) for d in dirs]
+
+    # The module must match the checkpoint's hypothesis: flax.apply
+    # SILENTLY ignores parameter entries the module never reads, so
+    # rebuilding without the quadratic head while the checkpoint carries
+    # quad_A/quad_b evaluates the Fourier component alone (observed: a
+    # 0.06-trainer-metric quad-head member probing at 0.48).  Auto-enable
+    # the head when the params carry it and no explicit override says
+    # otherwise.
+    has_head = "quad_A" in members[0].get("params", {})
+    if has_head and not any("quadratic_head" in o for o in rest):
+        print("checkpoint carries quad_A/quad_b: enabling quadratic_head")
+        rest.append("neural_network.quadratic_head=True")
     cfg = preset(preset_name, rest)
 
     rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
     inst = KineticMcKeanVlasovQuadratic(cfg, rng_problem)
     method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
     net, _ = method.create_model_fn()
-
-    dirs = [d for d in ckpt_dirs.split(",") if d]
-    members = [_load_checkpoint_params(d) for d in dirs]
     if len(members) > 1:
         print(f"ensemble of {len(members)} members: averaged gradient field")
 
