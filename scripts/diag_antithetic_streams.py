@@ -35,7 +35,9 @@ from pde_inverse_tpu.potentials import QuadraticPotential
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     d, n, dt = 2, 256, 0.05
-    pot = QuadraticPotential.create(jnp.zeros(d), jnp.zeros((d, d)))  # F=0
+    # F=0 via inv_cov=0 built directly: create() inverts the covariance,
+    # so a zero matrix there yields a NaN force (inv(0)), not a free one.
+    pot = QuadraticPotential(mu=jnp.zeros(d), inv_cov=jnp.zeros((d, d)))
     z0 = jax.random.normal(jax.random.PRNGKey(3), (n, 2 * d))
     seed = jnp.int32(1234)
 

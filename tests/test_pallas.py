@@ -176,7 +176,11 @@ class TestPallasLangevin:
         d, n, n_steps, dt = 2, 256, 30, 0.05
         z0 = jax.random.normal(jax.random.PRNGKey(3), (n, 2 * d))
         seed = jnp.int32(1234)
-        free = QuadraticPotential.create(jnp.zeros(d), jnp.zeros((d, d)))
+        # Force-free via inv_cov=0 directly: create() would invert the
+        # zero covariance -> NaN force -> NaN trajectories, and
+        # assert_allclose's equal_nan default made this gate pass
+        # vacuously (caught by diag_antithetic_streams printing NaN).
+        free = QuadraticPotential(mu=jnp.zeros(d), inv_cov=jnp.zeros((d, d)))
         quad = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
         for pot, atol, rtol in ((free, 5e-6, 1e-5), (quad, 5e-3, 1e-2)):
             runs = {
@@ -188,6 +192,7 @@ class TestPallasLangevin:
             }
             for idx in (0, 1):  # final states and trajectories
                 mean = 0.5 * (runs[1.0][idx] + runs[-1.0][idx])
+                assert np.isfinite(np.asarray(mean)).all()
                 np.testing.assert_allclose(
                     np.asarray(mean), np.asarray(runs[0.0][idx]), rtol=rtol,
                     atol=atol,
