@@ -149,6 +149,18 @@ class SolverTrainConfig:
     # Tikhonov-shrinks the head toward zero on the probe cloud
     # (losses/fourier_meanfield.py::fourier_grad).
     kmv_field_reg_fourier_only: bool = False
+    # Tail-coverage lever: spread the probe radii log-uniformly from 1x up
+    # to this factor times the data cloud (probe i scaled by
+    # scale**(i/(P-1))).  The FK residual concentrates in the farthest-1%
+    # of pairwise-difference radii (analyze_kmv tail bin 0.29 even with
+    # the quadratic head) because nothing constrains the bounded Fourier
+    # correction beyond the data support; widened probes pin its gradient
+    # to zero out there, so extrapolation falls to the quadratic head —
+    # which carries the truth's exact leading behavior.  Meant to be
+    # combined with kmv_field_reg_fourier_only (scaling the FULL field's
+    # penalty would Tikhonov-shrink the head exactly where it must act).
+    # 1.0 = probes stay on the data cloud (previous behavior).
+    kmv_field_reg_probe_scale: float = 1.0
     # Estimator lever (ROOFLINE §3): refresh the boundary batches (initial
     # draws + terminal SDE simulation — the dominant sampling cost at the
     # np production geometry, ~27% of the step) once per fused scan chunk

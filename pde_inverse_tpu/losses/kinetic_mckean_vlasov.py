@@ -274,6 +274,7 @@ def make_loss_fn(
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
+    field_reg_probe_scale: float = 1.0,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
     d = x_0T.shape[-1]
@@ -343,6 +344,14 @@ def make_loss_fn(
         off = (7919 * n_time) % n_pts or n_time % n_pts
         jj = (ii + off) % n_pts
         probe_diffs = xf[ii] - xf[jj]  # [P, d]
+        if field_reg_probe_scale > 1.0:
+            # Tail coverage: spread probe radii log-uniformly from 1x to
+            # scale x the data cloud (deterministic per-probe ladder, no
+            # RNG — jit-stable).  See TrainConfig.kmv_field_reg_probe_scale.
+            ladder = field_reg_probe_scale ** (
+                jnp.arange(n_probe, dtype=jnp.float32) / max(n_probe - 1, 1)
+            )
+            probe_diffs = probe_diffs * ladder[:, None]
 
     # auto-scale the ref chunk so chunk * n * nt stays within budget
     per_ref = max(1, x.shape[0] * n_time)
@@ -471,6 +480,7 @@ def value_and_grad_fn(
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
+    field_reg_probe_scale: float = 1.0,
 ):
     loss_fn = make_loss_fn(
         forward_fn,
@@ -485,6 +495,7 @@ def value_and_grad_fn(
         field_reg=field_reg,
         field_reg_probes=field_reg_probes,
         field_reg_fourier_only=field_reg_fourier_only,
+        field_reg_probe_scale=field_reg_probe_scale,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return {

@@ -52,13 +52,32 @@ def main():
         tr[s] = (p[:, 1:] - p[:, :-1]) / np.sqrt(2.0 * dt)
 
     s_plus, s_minus = tr[1.0], tr[-1.0]
+    # The extraction itself rounds: xi is recovered from f32 momentum
+    # PARTIAL SUMS p_k = p_0 +/- sqrt(2dt) * sum xi, so each recovered
+    # draw carries ~2 ulp(|p|)/sqrt(2dt) of arithmetic noise even when the
+    # kernel's negation is bit-exact (sign-flip of the same stream).
+    # First on-chip run at HEAD measured 1.5e-6 against this bound of
+    # ~3e-6 — ulp-quantized and growing with |p| exactly as rounding does.
+    p_mag = max(np.abs(tr[1.0]).max(), 1.0) * np.sqrt(2.0 * dt) * (
+        np.arange(1, s_plus.shape[1] + 1)[None, :, None] ** 0.5
+    ).max() + np.abs(z0[:, d:]).max()
+    bound = 4.0 * np.finfo(np.float32).eps * p_mag / np.sqrt(2.0 * dt)
     for k in range(s_plus.shape[1]):
         ssum = np.abs(s_plus[:, k] + s_minus[:, k]).max()
         smag = np.abs(s_plus[:, k]).max()
         print(f"step {k:3d}: max|xi+ + xi-| = {ssum:.3e}   max|xi+| = {smag:.3e}")
     total = np.abs(s_plus + s_minus).max()
-    print(f"OVERALL max|xi+ + xi-| = {total:.3e} "
-          f"({'EXACT negation' if total == 0.0 else 'STREAMS DIFFER'})")
+    verdict = (
+        "EXACT negation"
+        if total == 0.0
+        else (
+            f"consistent with bit-exact negation (within extraction "
+            f"rounding bound {bound:.1e})"
+            if total <= bound
+            else "STREAMS DIFFER"
+        )
+    )
+    print(f"OVERALL max|xi+ + xi-| = {total:.3e} ({verdict})")
 
 
 if __name__ == "__main__":

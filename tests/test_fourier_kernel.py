@@ -197,6 +197,52 @@ class TestFourierMeanfield:
         )
         np.testing.assert_allclose(full - fonly, gap_want, rtol=1e-4)
 
+    def test_field_reg_probe_scale_ladder(self, rng):
+        """kmv_field_reg_probe_scale: (a) scale=1 is exactly the default
+        probe construction; (b) scale>1 multiplies probe i by
+        scale**(i/(P-1)) — reconstructed exactly as the penalty gap vs the
+        unregularized loss (fourier-only scope, the intended pairing)."""
+        lam, n_probe, scale = 0.37, 64, 3.0
+        inst, net, params, data = _setup(rng, quad=True)
+        common = dict(
+            data=data, pde_instance=inst, blockwise_module=net,
+            field_reg_fourier_only=True,
+        )
+        l_base = kmv_loss.make_loss_fn(net.apply, **common)
+        l_s1 = kmv_loss.make_loss_fn(
+            net.apply, field_reg=lam, field_reg_probes=n_probe,
+            field_reg_probe_scale=1.0, **common
+        )
+        l_def = kmv_loss.make_loss_fn(
+            net.apply, field_reg=lam, field_reg_probes=n_probe, **common
+        )
+        np.testing.assert_allclose(
+            l_s1(params)[0], l_def(params)[0], rtol=1e-6
+        )
+
+        l_s3 = kmv_loss.make_loss_fn(
+            net.apply, field_reg=lam, field_reg_probes=n_probe,
+            field_reg_probe_scale=scale, **common
+        )
+        got_penalty = float(l_s3(params)[0]) - float(l_base(params)[0])
+        # independent reconstruction of the widened probe cloud
+        x, _ = jnp.split(data["0T"], 2, -1)
+        nt = data["tau_0T"].shape[0]
+        xf = x.reshape(-1, nt, 2).reshape(-1, 2)
+        n_pts = xf.shape[0]
+        n_p = min(n_probe, n_pts)
+        ii = jnp.arange(n_p) % n_pts
+        off = (7919 * nt) % n_pts or nt % n_pts
+        probe = xf[ii] - xf[(ii + off) % n_pts]
+        ladder = scale ** (jnp.arange(n_p, dtype=jnp.float32) / (n_p - 1))
+        probe = probe * ladder[:, None]
+        g_f = fmf.fourier_grad(net, params, probe)
+        want = lam * float(jnp.mean(jnp.sum(g_f**2, -1)))
+        np.testing.assert_allclose(got_penalty, want, rtol=1e-4, atol=1e-8)
+        assert not np.isclose(
+            float(l_s3(params)[0]), float(l_s1(params)[0])
+        ), "widened probes must change the penalty"
+
     def test_method_dispatch_and_training_smoke(self, rng):
         """ConsistencyBased + factory route neural_network.model=
         fourier-kernel through the collapse; a short jitted optimization
