@@ -18,6 +18,13 @@ from pde_inverse_tpu.potentials import GMMPotential, QuadraticPotential, VoidPot
 
 
 def _run_interpret(*args, **kw):
+    if jax.default_backend() in ("tpu", "axon"):  # pragma: no cover
+        # Interpret-mode pallas_call ABORTS the tunneled axon worker
+        # (observed chain_r3C: the first interpret test killed the backend
+        # and every later compiled-kernel gate failed ABORTED in cascade).
+        # Interpret semantics are covered by the CPU suite; on-chip runs
+        # (PDE_INVERSE_TPU_TEST_TPU=1) exercise only the compiled gates.
+        pytest.skip("interpret-mode pallas aborts the axon TPU worker")
     try:
         return langevin_pallas(*args, **kw, interpret=True)
     except NotImplementedError as e:  # pragma: no cover
