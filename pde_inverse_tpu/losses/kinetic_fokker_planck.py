@@ -40,10 +40,21 @@ def make_loss_fn(
     x_term, v_term = _split_xv(data["terminal"])
     x_0T, v_0T = _split_xv(data["0T"])
 
+    # Tail-boost importance weights (pde_instance.init_broaden): per-sample
+    # w = p0/q0 with E_q[w] = 1, so mean(w * f) is an UNBIASED estimate of
+    # the true-law expectation mean-under-p(f).  Absent keys mean the
+    # batches were drawn from the true law (w identically 1).
+    w_0T = data.get("w_0T")
+    w_init = data.get("w_initial")
+    w_term = data.get("w_terminal")
+
+    def wmean(f, w):
+        return jnp.mean(f if w is None else w * f)
+
     gamma = pde_instance.gamma_friction
     T = pde_instance.total_evolving_time
     nabla_V_true = ad.batched_grad(pde_instance.V_true_fn, x_0T)
-    loss_nabla_true = jnp.mean(jnp.sum(nabla_V_true**2, axis=-1))
+    loss_nabla_true = wmean(jnp.sum(nabla_V_true**2, axis=-1), w_0T)
 
     use_fused = fused_module is not None and fused_mode != "off"
     if use_fused:
@@ -78,23 +89,23 @@ def make_loss_fn(
             nabla_0T, quad_0T = ad.batched_grad_and_hvp_quadform(
                 V, x_0T, v_0T
             )
-        loss_nabla = jnp.mean(jnp.sum(nabla_0T**2, axis=-1))
-        loss_hessian = jnp.mean(quad_0T)
-        loss_friction = gamma * jnp.mean(jnp.sum(nabla_0T * v_0T, axis=-1))
+        loss_nabla = wmean(jnp.sum(nabla_0T**2, axis=-1), w_0T)
+        loss_hessian = wmean(quad_0T, w_0T)
+        loss_friction = gamma * wmean(jnp.sum(nabla_0T * v_0T, axis=-1), w_0T)
 
-        def boundary(x, v):
+        def boundary(x, v, w):
             # mean of grad V . v, safe for empty boundary batches (the KMV
             # preset runs with batch_size_init = 0)
             if x.shape[0] == 0:
                 return jnp.zeros([])
-            return jnp.mean(jnp.sum(ad.batched_grad(V, x) * v, axis=-1))
+            return wmean(jnp.sum(ad.batched_grad(V, x) * v, axis=-1), w)
 
-        loss_initial = boundary(x_init, v_init)
-        loss_terminal = boundary(x_term, v_term)
+        loss_initial = boundary(x_init, v_init, w_init)
+        loss_terminal = boundary(x_term, v_term, w_term)
         loss = (
             loss_nabla - 2.0 * loss_hessian + 2.0 * loss_friction + loss_nabla_true
         ) + (2.0 * loss_terminal - 2.0 * loss_initial) / T
-        gap = jnp.mean(jnp.sum((nabla_V_true - nabla_0T) ** 2, axis=-1))
+        gap = wmean(jnp.sum((nabla_V_true - nabla_0T) ** 2, axis=-1), w_0T)
         return loss, gap
 
     return loss_fn

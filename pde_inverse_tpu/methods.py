@@ -349,6 +349,11 @@ class ConsistencyBased(Method):
             return None
         rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
         if inst.sample_scheme == "exact":
+            if self.cfg.pde_instance.init_broaden > 1.0:
+                raise ValueError(
+                    "pde_instance.init_broaden reweights SDE sampling; "
+                    "exact-law instances sample the true law directly"
+                )
             return {
                 "initial": inst.distribution_initial.sample(
                     tr.batch_size_init, rng_init
@@ -362,6 +367,8 @@ class ConsistencyBased(Method):
             and hasattr(inst, "sample_boundary_only")
             and hasattr(inst, "sample_path_only")
         ):
+            if self._tail_boost():
+                return inst.sample_boundary_only_weighted(rng_0T, tr.batch_size_0T)
             initial, terminal = inst.sample_boundary_only(rng_0T, tr.batch_size_0T)
             return {"initial": initial, "terminal": terminal}
         return None
@@ -380,7 +387,21 @@ class ConsistencyBased(Method):
                 "0T": inst.sample_ground_truth(rng_0T, spec),
                 "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
             }
+        if self._tail_boost():
+            return inst.sample_path_only_weighted(rng_0T, tr.batch_size_0T)
         return {"0T": inst.sample_path_only(rng_0T, tr.batch_size_0T)}
+
+    def _tail_boost(self) -> bool:
+        """Tail-boost importance sampling is on (pde_instance.init_broaden
+        > 1) and the instance implements the weighted entry points."""
+        if self.cfg.pde_instance.init_broaden <= 1.0:
+            return False
+        if not hasattr(self.pde_instance, "sample_path_only_weighted"):
+            raise ValueError(
+                "pde_instance.init_broaden > 1 needs an instance with "
+                "weighted online sampling (Kinetic-Fokker-Planck GMM)"
+            )
+        return True
 
     def _sample_data_unsharded(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
         inst = self.pde_instance

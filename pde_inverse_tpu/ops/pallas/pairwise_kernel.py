@@ -324,6 +324,10 @@ def mlp_pairwise_sums(
             bytes_accessed=(ax.size + av.size + ar.size) * 4,
             transcendentals=bi * bj * sum(W.shape[1] for W, _ in mids),
         ),
+        # same scoped-VMEM headroom as the backward (see mlp_pairwise_sums_bwd)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret or _INTERPRET,
     )(*args)
     return {
@@ -591,6 +595,15 @@ def mlp_pairwise_sums_bwd(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # Raise the scoped-VMEM budget from the 16 MB default: XLA promotes
+        # the [n_blk_i, nt, m_pad, w0] ar partial into VMEM when it fits
+        # the chip (observed at the 7x2000 production geometry: a 17.9 MB
+        # S(1) output + ~23 MB of kernel stack = 40.7 MB > 16 MB OOM,
+        # r3G mlp15k).  v5e has 128 MB of physical VMEM; 100 MB leaves
+        # headroom for Mosaic's own scratch.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret or _INTERPRET,
     )(*args)
 

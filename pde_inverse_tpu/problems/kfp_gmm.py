@@ -62,6 +62,20 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         self.distribution_terminal = None  # only reachable by simulation
         self.dataset = None
         self.dataset_stream = None
+        broaden = cfg.pde_instance.init_broaden
+        if broaden < 1.0:
+            raise ValueError("pde_instance.init_broaden must be >= 1.0")
+        if broaden > 1.0 and cfg.pde_instance.antithetic:
+            raise ValueError(
+                "pde_instance.init_broaden and pde_instance.antithetic are "
+                "mutually exclusive (mirror-pair weight bookkeeping is not "
+                "implemented)"
+            )
+        if broaden > 1.0 and self.sample_mode != "online":
+            raise ValueError(
+                "pde_instance.init_broaden reweights ONLINE SDE sampling; "
+                "offline datasets are drawn from the true initial law"
+            )
         if self.sample_mode == "offline":
             self.dataset = self._load_or_generate_dataset(rng_dataset)
 
@@ -256,6 +270,80 @@ class KineticFokkerPlanckGMM(ProblemInstance):
         refreshed once per chunk under solver.train.boundary_per_chunk."""
         _, rng_term_sim, _, rng_i1, rng_i2 = jax.random.split(rng, 5)
         return self._sample_boundary(rng_term_sim, rng_i1, rng_i2, batch_size)
+
+    # -- tail-boost importance sampling (pde_instance.init_broaden) -------------
+
+    def _broadened_initial(self) -> Gaussian:
+        """Sampling law q for init_broaden=s: the position marginal's
+        covariance is scaled by s^2, the velocity marginal is unchanged
+        (P_0 is block-diagonal, so the density ratio p0/q0 depends on x
+        only and is bounded by s^dim at the mean — bounded importance
+        weights by construction)."""
+        s = self.cfg.pde_instance.init_broaden
+        d = self.dim
+        scale = jnp.concatenate([jnp.full((d,), s), jnp.ones((d,))])
+        cov_q = scale[:, None] * self.distribution_initial.cov * scale[None, :]
+        return Gaussian.create(self.distribution_initial.mean, cov_q)
+
+    def _init_log_weight(self, q: Gaussian, z0: jnp.ndarray) -> jnp.ndarray:
+        return self.distribution_initial.logdensity(z0) - q.logdensity(z0)
+
+    def sample_path_only_weighted(self, rng: jax.Array, batch_size: int):
+        """Like sample_path_only, drawing initial states from the broadened
+        law q and returning {"0T", "w_0T"}: each trajectory's importance
+        weight w = p0(z0)/q0(z0) repeats across all path states it
+        contributes, so every E_0T[...] in the weak form stays an unbiased
+        estimate of the true path-law expectation (the path law of a
+        trajectory is a deterministic-in-law pushforward of its initial
+        state, so the t=0 density ratio is the full trajectory's
+        Radon-Nikodym weight)."""
+        rng_traj, _, rng_i0, _, _ = jax.random.split(rng, 5)
+        q = self._broadened_initial()
+        n_steps = self.cfg.pde_instance.n_steps
+        dt = self.cfg.pde_instance.total_evolving_time / n_steps
+        z0 = q.sample(batch_size, rng_i0)
+        _, traj, _ = simulate(
+            rng_traj, z0, n_steps, dt, self.potential, self.gamma_friction,
+            integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
+        )
+        stride = self.cfg.solver.train.path_stride
+        if stride > 1:
+            traj = traj[:, ::stride]
+        w = jnp.exp(self._init_log_weight(q, z0))
+        return {
+            "0T": traj.reshape(-1, 2 * self.dim),
+            "w_0T": jnp.repeat(w, traj.shape[1]),
+        }
+
+    def sample_boundary_only_weighted(self, rng: jax.Array, batch_size: int):
+        """Like sample_boundary_only under the broadened law, returning
+        {"initial", "terminal", "w_initial", "w_terminal"}; the terminal
+        particles inherit the weight of the initial state they were
+        simulated from."""
+        _, rng_term_sim, _, rng_i1, rng_i2 = jax.random.split(rng, 5)
+        q = self._broadened_initial()
+        n_steps = self.cfg.pde_instance.n_steps
+        dt = self.cfg.pde_instance.total_evolving_time / n_steps
+        sample_initial = q.sample(batch_size * self.multiple_init, rng_i1)
+        z0_term = q.sample(batch_size * self.multiple_terminal, rng_i2)
+        sample_terminal, _, _ = simulate(
+            rng_term_sim,
+            z0_term,
+            n_steps,
+            dt,
+            self.potential,
+            self.gamma_friction,
+            return_trajectory=False,
+            integrator=self.cfg.pde_instance.integrator,
+            pack=self.cfg.pde_instance.langevin_pack or None,
+        )
+        return {
+            "initial": sample_initial,
+            "terminal": sample_terminal,
+            "w_initial": jnp.exp(self._init_log_weight(q, sample_initial)),
+            "w_terminal": jnp.exp(self._init_log_weight(q, z0_term)),
+        }
 
     def _sample_path(self, rng_traj, rng_i0, batch_size: int):
         n_steps = self.cfg.pde_instance.n_steps

@@ -1,0 +1,98 @@
+"""Compile/run probe: jax.grad through the Pallas pairwise path at the
+production non-parametric KMV geometry (7x2000, hidden 20x8, feature 128).
+
+This is the program that OOMed scoped VMEM on-chip in r3G (40.66 MB > 16 MB:
+XLA promoted the backward kernel's [n_blk_i, nt, m_pad, w0] ar partial into
+VMEM) before mlp_pairwise_sums_bwd raised its vmem_limit_bytes budget.  Run
+on the chip; exits 0 iff the grad step compiles, runs, and matches the jnp
+blockwise path.
+
+usage: python scripts/probe_pairwise_train_bwd.py [nt n m hidden layers feat]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_inverse_tpu.losses import pairwise_blockwise as bw
+from pde_inverse_tpu.models.mlp import PotentialMLP
+from pde_inverse_tpu.utils.cache import enable_compilation_cache
+
+
+def main(argv):
+    nt, n, m, hidden, layers, feat = (
+        [int(a) for a in argv] + [7, 2000, 2000, 20, 8, 128][len(argv):]
+    )
+    d = 2
+    enable_compilation_cache()
+    net = PotentialMLP(hidden_dims=[hidden] * layers, feature_dim=feat)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(d))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (n, nt, d))
+    v = jax.random.normal(k2, (n, nt, d))
+    refs = jax.random.normal(k3, (m, nt, d))
+
+    def loss(p, mode):
+        s = bw.mlp_pairwise_stats(net, p, x, v, refs, pallas_mode=mode)
+        return (
+            jnp.mean(s["value"]) + jnp.mean(s["hess"]) + jnp.mean(s["nabla"] ** 2)
+        )
+
+    def loss_chunked(p, rows):
+        s = bw.mlp_pairwise_stats(
+            net, p, x, v, refs, rows_per_chunk=rows, pallas_mode="off"
+        )
+        return (
+            jnp.mean(s["value"]) + jnp.mean(s["hess"]) + jnp.mean(s["nabla"] ** 2)
+        )
+
+    results = {}
+    for mode in ("on", "off"):
+        g = jax.jit(jax.grad(lambda p: loss(p, mode)))
+        t0 = time.perf_counter()
+        out = g(params)
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = g(params)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        results[mode] = out
+        print(
+            f"mode={mode:3s} first={t_compile:7.1f}s steady={dt * 1e3:8.1f} ms/grad"
+        )
+
+    def worst_rel(ta, tb):
+        w = 0.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ta), jax.tree_util.tree_leaves(tb)
+        ):
+            denom = max(float(jnp.max(jnp.abs(b))), 1e-30)
+            w = max(w, float(jnp.max(jnp.abs(a - b))) / denom)
+        return w
+
+    # f32 accumulation-order noise floor: the SAME jnp formulation summed
+    # in a different chunk order (8x smaller ref chunks) — any pallas-vs-
+    # jnp gap within a few x of this floor is numerics, not a kernel bug
+    g_alt = jax.jit(jax.grad(lambda p: loss_chunked(p, bw._ROWS_PER_CHUNK // 8)))
+    alt = g_alt(params)
+    jax.block_until_ready(alt)
+    floor = worst_rel(alt, results["off"])
+    gap = worst_rel(results["on"], results["off"])
+    print(f"max grad rel-err pallas vs jnp: {gap:.3e}")
+    print(f"jnp chunk-order noise floor:    {floor:.3e}")
+    ok = gap < max(8.0 * floor, 2e-4)
+    print("PROBE", "OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,218 @@
+"""Tail-boost importance sampling (pde_instance.init_broaden).
+
+The online SDE batches are drawn with the initial POSITION marginal
+broadened to N(m, s^2 P_x0) and exact per-trajectory importance weights
+w = p0/q0 attached, so every weak-form expectation stays unbiased for the
+true path law while the sampler covers the initial-law tail ~s^2 x more
+densely.  Reference analogue: none (the reference samples the true law
+only, example_problems/kinetic_fokker_planck_example_GMM.py:104-133).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_inverse_tpu.config import Config, apply_overrides
+from pde_inverse_tpu.methods import ConsistencyBased
+from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+
+def make_cfg(extra=()):
+    return apply_overrides(
+        Config(),
+        [
+            "pde_instance.name=Kinetic-Fokker-Planck",
+            "pde_instance.potential=GMM",
+            "pde_instance.domain_dim=2",
+            "pde_instance.sample_mode=online",
+            "pde_instance.n_steps=6",
+            "solver.train.batch_size_0T=32",
+            *extra,
+        ],
+    )
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(7)
+
+
+class TestWeights:
+    def test_bounded_and_unit_mean(self, rng):
+        """w = p0/q0 is bounded by s^dim (attained at the mean) and has
+        E_q[w] = 1: the empirical mean over 60k draws must sit within a
+        few sigma of 1 (var(w) is finite and known for Gaussian p, q)."""
+        s = 1.5
+        cfg = make_cfg([f"pde_instance.init_broaden={s}"])
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        q = inst._broadened_initial()
+        z = q.sample(60_000, jax.random.fold_in(rng, 1))
+        w = np.asarray(jnp.exp(inst._init_log_weight(q, z)))
+        bound = s**inst.dim
+        assert w.max() <= bound * (1 + 1e-5)
+        assert abs(w.mean() - 1.0) < 0.02
+        # the bound is attained where x = mean
+        z0 = inst.distribution_initial.mean[None, :]
+        w0 = float(jnp.exp(inst._init_log_weight(q, z0))[0])
+        np.testing.assert_allclose(w0, bound, rtol=1e-5)
+
+    def test_weighted_expectation_is_unbiased(self, rng):
+        """E_q[w f] = E_p[f] for f(z) = ||z||^2, whose exact value is
+        trace(P_0) = (4 + 0.1) * dim."""
+        s = 1.5
+        cfg = make_cfg([f"pde_instance.init_broaden={s}"])
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        q = inst._broadened_initial()
+        z = q.sample(400_000, jax.random.fold_in(rng, 2))
+        w = jnp.exp(inst._init_log_weight(q, z))
+        est = float(jnp.mean(w * jnp.sum(z**2, -1)))
+        exact = 4.1 * inst.dim
+        assert abs(est - exact) / exact < 0.02
+
+    def test_velocity_marginal_not_reweighted(self, rng):
+        """P_0 is block-diagonal and only the x-block is broadened, so the
+        weight must be a function of x alone."""
+        s = 2.0
+        cfg = make_cfg([f"pde_instance.init_broaden={s}"])
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        q = inst._broadened_initial()
+        z = q.sample(64, jax.random.fold_in(rng, 3))
+        d = inst.dim
+        z_flip_v = z.at[:, d:].multiply(-1.0)
+        np.testing.assert_allclose(
+            np.asarray(inst._init_log_weight(q, z)),
+            np.asarray(inst._init_log_weight(q, z_flip_v)),
+            rtol=1e-6,
+        )
+
+
+class TestDataPolicy:
+    def test_weighted_keys_present_and_aligned(self, rng):
+        cfg = make_cfg(["pde_instance.init_broaden=1.5"])
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 4))
+        for key, wkey in [
+            ("0T", "w_0T"),
+            ("initial", "w_initial"),
+            ("terminal", "w_terminal"),
+        ]:
+            assert wkey in data
+            assert data[wkey].shape == (data[key].shape[0],)
+        # per-trajectory weights repeat across each trajectory's states
+        n_states = data["0T"].shape[0] // cfg.solver.train.batch_size_0T
+        w = np.asarray(data["w_0T"]).reshape(
+            cfg.solver.train.batch_size_0T, n_states
+        )
+        np.testing.assert_array_equal(w, np.repeat(w[:, :1], n_states, 1))
+
+    def test_off_by_default(self, rng):
+        cfg = make_cfg()
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 4))
+        assert not any(k.startswith("w_") for k in data)
+
+    def test_loss_with_unit_weights_is_identical(self, rng):
+        """Adding w = 1 arrays must not change the loss or gradient at all
+        (same reductions, weights multiply by one)."""
+        from pde_inverse_tpu.losses import kinetic_fokker_planck as kfp
+        from pde_inverse_tpu.models.mlp import PotentialMLP
+
+        cfg = make_cfg()
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 4))
+        net = PotentialMLP(hidden_dims=[16], feature_dim=16)
+        params = net.init(rng, jnp.zeros((inst.dim,)))
+        forward = net.apply
+
+        weighted = dict(data)
+        for key, wkey in [
+            ("0T", "w_0T"),
+            ("initial", "w_initial"),
+            ("terminal", "w_terminal"),
+        ]:
+            weighted[wkey] = jnp.ones(data[key].shape[0])
+
+        out_plain = kfp.value_and_grad_fn(forward, params, data, rng, inst)
+        out_w = kfp.value_and_grad_fn(forward, params, weighted, rng, inst)
+        np.testing.assert_array_equal(
+            np.asarray(out_plain["loss"]), np.asarray(out_w["loss"])
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_plain["grad"]),
+            jax.tree_util.tree_leaves(out_w["grad"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_weighted_loss_matches_plain_in_expectation(self, rng):
+        """The broadened+weighted estimator and the plain estimator target
+        the SAME expectations: averaged over many independent batches at
+        fixed params, the two loss estimates must agree to within MC noise
+        (this is the end-to-end unbiasedness gate)."""
+        from functools import partial
+
+        from pde_inverse_tpu.models.mlp import PotentialMLP
+
+        cfg_p = make_cfg(["solver.train.batch_size_0T=256"])
+        cfg_w = make_cfg(
+            ["solver.train.batch_size_0T=256", "pde_instance.init_broaden=1.5"]
+        )
+        inst_p = KineticFokkerPlanckGMM(cfg_p, rng)
+        inst_w = KineticFokkerPlanckGMM(cfg_w, rng)  # same rng: same truth
+        net = PotentialMLP(hidden_dims=[16], feature_dim=16)
+        params = net.init(rng, jnp.zeros((inst_p.dim,)))
+        forward = net.apply
+
+        def mean_loss(method, n=24):
+            vg = jax.jit(
+                partial(method.value_and_grad_fn, forward, params)
+            )
+            keys = jax.random.split(jax.random.fold_in(rng, 9), n)
+            return np.mean([float(vg(k)["loss"]) for k in keys])
+
+        mp = mean_loss(ConsistencyBased(pde_instance=inst_p, cfg=cfg_p, rng=rng))
+        mw = mean_loss(ConsistencyBased(pde_instance=inst_w, cfg=cfg_w, rng=rng))
+        # scale tolerance by the loss magnitude; both are ~O(10) here
+        assert abs(mp - mw) / max(abs(mp), 1.0) < 0.15
+
+
+class TestGuards:
+    def test_antithetic_is_rejected(self, rng):
+        cfg = make_cfg(
+            ["pde_instance.init_broaden=1.5", "pde_instance.antithetic=True"]
+        )
+        with pytest.raises(ValueError, match="antithetic"):
+            KineticFokkerPlanckGMM(cfg, rng)
+
+    def test_offline_is_rejected(self, rng):
+        cfg = make_cfg(
+            ["pde_instance.init_broaden=1.5", "pde_instance.sample_mode=offline"]
+        )
+        with pytest.raises(ValueError, match="ONLINE"):
+            KineticFokkerPlanckGMM(cfg, rng)
+
+    def test_below_one_is_rejected(self, rng):
+        cfg = make_cfg(["pde_instance.init_broaden=0.5"])
+        with pytest.raises(ValueError, match=">= 1.0"):
+            KineticFokkerPlanckGMM(cfg, rng)
+
+    def test_exact_scheme_is_rejected(self, rng):
+        from pde_inverse_tpu.problems import KineticFokkerPlanckOU
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.potential=Quadratic",
+                "pde_instance.domain_dim=2",
+                "pde_instance.sample_mode=online",
+                "pde_instance.init_broaden=1.5",
+            ],
+        )
+        inst = KineticFokkerPlanckOU(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        with pytest.raises(ValueError, match="exact-law"):
+            method.sample_data(jax.random.fold_in(rng, 4))
