@@ -68,13 +68,35 @@ def main(ckpt_dirs: str, overrides):
     # SILENTLY ignores parameter entries the module never reads, so
     # rebuilding without the quadratic head while the checkpoint carries
     # quad_A/quad_b evaluates the Fourier component alone (observed: a
-    # 0.06-trainer-metric quad-head member probing at 0.48).  Auto-enable
-    # the head when the params carry it and no explicit override says
-    # otherwise.
-    has_head = "quad_A" in members[0].get("params", {})
-    if has_head and not any("quadratic_head" in o for o in rest):
-        print("checkpoint carries quad_A/quad_b: enabling quadratic_head")
-        rest.append("neural_network.quadratic_head=True")
+    # 0.06-trainer-metric quad-head member probing at 0.48).  Infer the
+    # whole hypothesis class + architecture from the parameter tree and
+    # append the matching overrides unless the caller set them explicitly.
+    p0 = members[0].get("params", members[0])
+
+    def infer_overrides(p):
+        out = []
+        if "quad_A" in p:
+            out.append("neural_network.quadratic_head=True")
+        if "omega" in p:  # fourier-kernel class (models/fourier_kernel.py)
+            out.append("neural_network.model=fourier-kernel")
+            out.append(f"neural_network.fourier_features={p['omega'].shape[0]}")
+        elif "Dense_0" in p:  # PotentialMLP stack (models/mlp.py)
+            n_dense = sum(1 for k in p if k.startswith("Dense_"))
+            hidden = p["Dense_0"]["kernel"].shape[1]
+            feat = p[f"Dense_{n_dense - 1}"]["kernel"].shape[1]
+            out.append("neural_network.model=mlp")
+            out.append(f"neural_network.layers={n_dense - 1}")
+            out.append(f"neural_network.hidden_dim={hidden}")
+            out.append(f"neural_network.feature_dim={feat}")
+            nf = p["fourier_B"].shape[1] if "fourier_B" in p else 0
+            out.append(f"neural_network.fourier_features={nf}")
+        return out
+
+    for o in infer_overrides(p0):
+        key = o.split("=", 1)[0]
+        if not any(r.startswith(key + "=") for r in rest):
+            print(f"inferred from checkpoint: {o}")
+            rest.append(o)
     cfg = preset(preset_name, rest)
 
     rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
