@@ -309,6 +309,47 @@ def bench_fk_step(n_steps=60, chunk=20, windows=3, collapse=True):
     return rate, rates, flops_per_step
 
 
+def bench_mlp_pairwise_step(n_steps=12, chunk=4, windows=3, pallas="auto"):
+    """Non-parametric MLP KMV row: the production-architecture MLP
+    hypothesis (hidden 20x8, feature 128) at the 7x2000 pair grid through
+    the Pallas blockwise pairwise kernels (fwd + full-kernel bwd,
+    ops/pallas/pairwise_kernel.py).  This is the one hypothesis class that
+    cannot collapse its mean-field expectations, i.e. the true O(n*m)
+    path; the reference triple-vmaps the full [m, n, t, d] tensor for it
+    (kinetic_mckean_vlasov.py:22-48).  chunk stays <= 5: larger trainer
+    scan chunks over this path crash the tunneled worker (CLAUDE.md)."""
+    from pde_inverse_tpu.config import preset
+    from pde_inverse_tpu.methods import ConsistencyBased
+    from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+    from pde_inverse_tpu.training.optimizers import get_optimizer
+
+    cfg = preset(
+        "KMV-nonparametric-fourier",
+        [
+            "neural_network.model=mlp",
+            "neural_network.fourier_features=0",
+            "neural_network.fourier_trainable=False",
+            "solver.train.kmv_field_reg=0.0",
+            # the MLP cell's stabilizer (README): silences the
+            # unstabilized-np warning and matches the production recipe
+            "train.optimizer.weight_decay=1e-1",
+            f"solver.train.kmv_pallas={pallas}",
+            f"train.steps_per_chunk={chunk}",
+        ],
+    )
+    rng = jax.random.PRNGKey(0)
+    inst = KineticMcKeanVlasovQuadratic(cfg, jax.random.split(rng, 4)[0])
+    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+    net, params = method.create_model_fn()
+    opt = get_optimizer(cfg.train.optimizer)
+    out = bench_ours(
+        method, net, params, opt, n_steps=n_steps, chunk=chunk, windows=windows
+    )
+    rate, flops_per_step = out[0], out[1]
+    rates = out[2] if len(out) > 2 else [round(rate, 2)]
+    return rate, rates, flops_per_step
+
+
 def main():
     from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
@@ -409,6 +450,28 @@ def main():
             result["fk"]["collapse_speedup"] = round(fk_rate / pw_rate, 1)
     except Exception as e:  # pragma: no cover
         result["fk"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # non-parametric MLP KMV row: the genuine O(n*m) pairwise training
+    # step through the Pallas fwd+bwd tile kernels at the production
+    # 7x2000 geometry.  `--mlp-jnp` adds the XLA-blockwise comparison
+    # (measured 2.8x slower grad on-chip) — opt-in, its compile+run cost
+    # never changes the verdict.
+    try:
+        mp_rate, mp_windows, _ = bench_mlp_pairwise_step()
+        result["mlp_pairwise"] = {
+            "metric": "KMV non-parametric MLP pairwise step (7x2000, Pallas fwd+bwd)",
+            "steps_per_sec": round(mp_rate, 3),
+            "steps_per_sec_windows": mp_windows,
+            "ms_per_step": round(1e3 / mp_rate, 2),
+        }
+        if "--mlp-jnp" in sys.argv:
+            jr, _, _ = bench_mlp_pairwise_step(
+                n_steps=6, chunk=2, windows=1, pallas="off"
+            )
+            result["mlp_pairwise"]["jnp_steps_per_sec"] = round(jr, 4)
+            result["mlp_pairwise"]["pallas_speedup"] = round(mp_rate / jr, 2)
+    except Exception as e:  # pragma: no cover
+        result["mlp_pairwise"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # saturation probe: the large-batch end of the --scaling sweep (the
     # knee context for the headline row without the full sweep's runtime)

@@ -42,27 +42,40 @@ from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
 from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
 
-def _load_checkpoint_params(ckpt_dir: str):
+def _load_checkpoint_params(ckpt_dir: str, use_ema_state: bool = False):
     import orbax.checkpoint as ocp
 
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     step = mgr.latest_step()
     restored = mgr.restore(step)
-    print(f"restored step {step} from {ckpt_dir}")
-    return jax.tree_util.tree_map(jnp.asarray, restored["params"])
+    # --ema: evaluate the decoupled Polyak average saved in ema_state
+    # (trainer ema_mode=track) instead of the live iterate — mirrors
+    # analyze_np.py; refuses un-engaged checkpoints (all-zeros init).
+    if use_ema_state:
+        if int(restored["ema_state"]["count"]) == 0:
+            raise SystemExit(
+                "--ema requested but the checkpoint's EMA never engaged "
+                "(count=0): evaluate without --ema or use a later checkpoint"
+            )
+        source = restored["ema_state"]["ema"]
+    else:
+        source = restored["params"]
+    print(f"restored step {step} from {ckpt_dir} (ema={use_ema_state})")
+    return jax.tree_util.tree_map(jnp.asarray, source)
 
 
 def main(ckpt_dirs: str, overrides):
     enable_compilation_cache()
     preset_name = "KMV-nonparametric-fourier"
+    use_ema_state = "--ema" in overrides
     rest = []
     for o in overrides:
         if o.startswith("preset="):
             preset_name = o.split("=", 1)[1]
-        else:
+        elif o != "--ema":
             rest.append(o)
     dirs = [d for d in ckpt_dirs.split(",") if d]
-    members = [_load_checkpoint_params(d) for d in dirs]
+    members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
 
     # The module must match the checkpoint's hypothesis: flax.apply
     # SILENTLY ignores parameter entries the module never reads, so
