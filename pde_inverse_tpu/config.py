@@ -77,6 +77,11 @@ class PDEInstanceConfig:
     # often.  1.0 = off (the unweighted code path, bitwise).  Motivated by
     # the round-3 error profile: the np-KGMM ensemble residual is 4.9e-3
     # near-support vs 5.1e-2 on the farthest 1% of the initial law.
+    # Exact-law instances (KFP-OU / KMV, grid_time sampling) broaden the
+    # WHOLE per-stamp Gaussian law N(m_t, s^2 P_t) instead, with exact
+    # per-(sample, stamp) weights w = p_t/q_t <= s^(2 dim); the KMV loss
+    # threads the weights through both expectation layers of its
+    # collapse paths (quadratic closed-form and fourier-kernel).
     init_broaden: float = 1.0
     n_steps: int = 100
     sample_initial_size: int = 500_000

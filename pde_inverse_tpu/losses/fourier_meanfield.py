@@ -63,10 +63,17 @@ def fourier_grad(module, params, y):
     return (b * jnp.cos(py) - a * jnp.sin(py)) @ omega
 
 
-def meanfield_stats(module, params, x, v, refs):
+def meanfield_stats(module, params, x, v, refs, ref_weights=None):
     """x, v: [n, nt, d]; refs: [m, nt, d].  Returns the same pytree as the
     pairwise paths: {"nabla" [n, nt, d], "hess" [n, nt], "value" [n, nt]}
-    (per-stamp means over the refs)."""
+    (per-stamp means over the refs).
+
+    ref_weights [m, nt] (optional): raw per-(ref, stamp) importance
+    weights with E_q[w] = 1 — the tail-boost exact-law estimator
+    (pde_instance.init_broaden > 1).  The per-stamp sufficient statistics
+    become weighted means (1/m) sum_j w_{j,t} cos/sin(w_k . r_{j,t}),
+    each an unbiased estimate of the true-law statistic while the refs
+    themselves are drawn from the broadened law."""
     import jax
 
     p = _unwrap(params)
@@ -82,8 +89,13 @@ def meanfield_stats(module, params, x, v, refs):
     px = jnp.einsum("ntd,kd->ntk", x, omega)
     pv = jnp.einsum("ntd,kd->ntk", v, omega)
     pr = jnp.einsum("mtd,kd->mtk", refs, omega)
-    C = jnp.mean(jnp.cos(pr), axis=0)  # [nt, K] sufficient statistics
-    S = jnp.mean(jnp.sin(pr), axis=0)
+    if ref_weights is None:
+        C = jnp.mean(jnp.cos(pr), axis=0)  # [nt, K] sufficient statistics
+        S = jnp.mean(jnp.sin(pr), axis=0)
+    else:
+        wr = ref_weights[..., None]  # [m, nt, 1]
+        C = jnp.mean(wr * jnp.cos(pr), axis=0)
+        S = jnp.mean(wr * jnp.sin(pr), axis=0)
 
     cx, sx = jnp.cos(px), jnp.sin(px)
     Ecos = cx * C[None] + sx * S[None]  # [n, nt, K]
@@ -100,7 +112,11 @@ def meanfield_stats(module, params, x, v, refs):
             x.astype(jnp.float32),
             v.astype(jnp.float32),
             refs.astype(jnp.float32),
-            valid=jnp.ones((m,), jnp.float32),
+            valid=(
+                jnp.ones((m,), jnp.float32)
+                if ref_weights is None
+                else ref_weights.astype(jnp.float32)
+            ),
         )
         value = value + qs["value"] / m
         nabla = nabla + qs["nabla_direct"] / m

@@ -218,7 +218,7 @@ def compute_weights_grouped(
 _CHUNK_ELEMENT_BUDGET = 4_000_000
 
 
-def _quadratic_meanfield_stats(phi, x, v):
+def _quadratic_meanfield_stats(phi, x, v, ref_weights=None):
     """Exact mean-field statistics for an exactly-quadratic kernel phi.
 
     For phi(y) = 1/2 y^T H y + g0.y + c, the empirical mean over refs r
@@ -236,6 +236,20 @@ def _quadratic_meanfield_stats(phi, x, v):
     any exactly-quadratic model without peeking at its params; gradients
     w.r.t. the model parameters flow through the probes.
 
+    ref_weights [n, nt] (optional): raw per-(ref, stamp) importance
+    weights with E_q[w] = 1 (tail-boost exact-law sampling, see
+    problems/kfp_ou.sample_ground_truth_weighted).  The collapse then
+    uses the UNCENTERED weighted moments W_t = mean_j w, M_t = mean_j w r,
+    Q_t = mean_j w r^T H r:
+
+        E_w grad     = (H x + g0) W_t - H M_t
+        E_w v^T H v  = v^T H v W_t
+        E_w phi(x-r) = (1/2 x^T H x + g0.x + c) W_t - x^T H M_t
+                       - g0.M_t + Q_t / 2
+
+    each an unbiased estimate of the true-law statistic; with w = 1 this
+    reduces algebraically to the centered form above.
+
     x, v: [n, nt, d].  Returns {"nabla" [n,nt,d], "hess" [n,nt],
     "value" [n,nt]} — the same pytree _pairwise_stats yields.
     """
@@ -244,6 +258,23 @@ def _quadratic_meanfield_stats(phi, x, v):
     c0 = phi(zero)
     g0 = jax.grad(phi)(zero)
     H = jax.jacfwd(jax.grad(phi))(zero)  # [d, d]
+
+    if ref_weights is not None:
+        w = ref_weights
+        W = jnp.mean(w, axis=0)  # [nt]
+        M = jnp.mean(w[..., None] * x, axis=0)  # [nt, d]
+        Q = jnp.einsum("nt,ntd,de,nte->t", w, x, H, x) / n  # [nt]
+        xH = x @ H  # [n, nt, d]
+        nabla = (xH + g0) * W[None, :, None] - (M @ H)[None]
+        hess = jnp.einsum("ntd,de,nte->nt", v, H, v) * W[None, :]
+        value = (
+            (0.5 * jnp.einsum("ntd,ntd->nt", xH, x) + x @ g0 + c0)
+            * W[None, :]
+            - jnp.einsum("ntd,td->nt", xH, M)
+            - (M @ g0)[None, :]
+            + 0.5 * Q[None, :]
+        )
+        return {"nabla": nabla, "hess": hess, "value": value}
 
     mbar = jnp.mean(x, axis=0)  # [nt, d]
     diffc = x - mbar  # [n, nt, d]
@@ -316,6 +347,38 @@ def make_loss_fn(
         )
     refs = x  # empirical mean-field measure = the samples themselves
 
+    # Tail-boost importance weights (pde_instance.init_broaden > 1): the
+    # batch is drawn from the per-stamp s-broadened law with raw weights
+    # w = p_t/q_t (E_q[w] = 1) attached.  Both expectation layers of the
+    # weak form change: the OUTER E_{x~rho_t} means become weighted means,
+    # and the INNER mean-field reductions over the refs (= the same
+    # broadened samples) become weighted per-stamp sufficient statistics.
+    # Only the collapse paths support this — the O(n^2) pairwise
+    # reductions would need the weights threaded through every chunk and
+    # Pallas tile for an estimator cell that is collapse-shaped anyway.
+    w_0T = data.get("w_0T")
+    wq = None
+    if w_0T is not None:
+        wq = w_0T.reshape(x.shape[0], n_time)
+        from pde_inverse_tpu.losses import fourier_meanfield as fmf
+
+        model_collapses = closed_form_quadratic or (
+            blockwise_module is not None and fmf.supports(blockwise_module)
+        )
+        if not model_collapses:
+            raise ValueError(
+                "pde_instance.init_broaden > 1 on a KMV instance requires "
+                "a collapse-path hypothesis class: the quadratic "
+                "parametric model (solver.train.kmv_closed_form) or the "
+                "fourier-kernel model (solver.train.kmv_blockwise); the "
+                "O(n^2) pairwise paths do not thread importance weights"
+            )
+        if not getattr(pde_instance, "phi_true_is_quadratic", False):
+            raise ValueError(
+                "tail-boost KMV needs a quadratic Phi_true (the true-side "
+                "statistics must collapse to weighted per-stamp moments)"
+            )
+
     probe_diffs = None
     # field_reg may arrive as a traced scalar (step-annealed lambda from
     # methods.value_and_grad_fn); only a static Python 0/negative disables.
@@ -368,7 +431,7 @@ def make_loss_fn(
         # The model side is gated by the caller (parametric
         # QuadraticFormModel only). Phi_true_fn is written with
         # "...i,ij,...j" einsums, so it accepts an unbatched [d] point.
-        true_stats = _quadratic_meanfield_stats(Phi_true, x, v)
+        true_stats = _quadratic_meanfield_stats(Phi_true, x, v, ref_weights=wq)
         mean_nabla_true = true_stats["nabla"]
     else:
         true_stats = _pairwise_stats(
@@ -382,12 +445,18 @@ def make_loss_fn(
             mesh_spec,
         )
         mean_nabla_true = true_stats["nabla_true"]  # [n, nt, d]
-    loss_nabla_true = jnp.mean(jnp.sum(mean_nabla_true**2, axis=-1))
+
+    def omean(arr):
+        """Outer E_{x~rho_t} mean of a per-(sample, stamp) array: a plain
+        mean, or the importance-weighted unbiased mean under tail-boost."""
+        return jnp.mean(arr) if wq is None else jnp.mean(wq * arr)
+
+    loss_nabla_true = omean(jnp.sum(mean_nabla_true**2, axis=-1))
 
     def model_stats(params):
         Phi = lambda xi: forward_fn(params, xi)[0]
         if closed_form_quadratic:
-            return _quadratic_meanfield_stats(Phi, x, v)
+            return _quadratic_meanfield_stats(Phi, x, v, ref_weights=wq)
         if blockwise_module is not None:
             from pde_inverse_tpu.losses import fourier_meanfield as fmf
 
@@ -397,7 +466,9 @@ def make_loss_fn(
                 # statistics — O((n+m)K), no pairwise grid at all
                 # (losses/fourier_meanfield.py; equality-gated against the
                 # generic O(n^2) reduction).
-                return fmf.meanfield_stats(blockwise_module, params, x, v, refs)
+                return fmf.meanfield_stats(
+                    blockwise_module, params, x, v, refs, ref_weights=wq
+                )
             # MXU-shaped blockwise reduction for MLP kernels: first-layer
             # decomposition + fused 2nd-order forward propagation (see
             # losses/pairwise_blockwise.py). Equality-gated against the
@@ -431,9 +502,9 @@ def make_loss_fn(
         pays a full second sweep over the [m, n, t] pair grid for it every
         step (kinetic_mckean_vlasov.py:99-109)."""
         stats = model_stats(params)
-        loss_nabla = jnp.mean(jnp.sum(stats["nabla"] ** 2, axis=-1))
-        loss_hessian = jnp.mean(stats["hess"])
-        loss_value = jnp.mean(stats["value"] * weights)
+        loss_nabla = omean(jnp.sum(stats["nabla"] ** 2, axis=-1))
+        loss_hessian = omean(stats["hess"])
+        loss_value = omean(stats["value"] * weights)
         loss = loss_nabla - 2.0 * loss_hessian + 2.0 * loss_value + loss_nabla_true
         if probe_diffs is not None:
             if field_reg_fourier_only:
@@ -459,7 +530,7 @@ def make_loss_fn(
             loss = loss + field_reg * jnp.mean(
                 jnp.sum(grad_probe**2, axis=-1)
             )
-        gap = jnp.mean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
+        gap = omean(jnp.sum((mean_nabla_true - stats["nabla"]) ** 2, axis=-1))
         return loss, gap
 
     return loss_fn

@@ -80,34 +80,44 @@ def _act_d012(act, z):
 def _quad_head_stats(A, b, x, v, refs, valid):
     """Exact per-stamp mean-field SUMS of q(y) = 1/2 ||A y||^2 + b.y.
 
-    x, v: [n, nt, d]; refs: [m, nt, d] with per-ref validity `valid` [m]
-    (padding rows).  With H = A^T A and per-stamp ref moments
-    rsum_t = sum_j w_j r_{j,t}, rsq_t = sum_j w_j r^T H r:
+    x, v: [n, nt, d]; refs: [m, nt, d] with per-ref validity `valid`,
+    either [m] (padding rows / uniform ref weights) or [m, nt]
+    (per-(ref, stamp) importance weights — the tail-boost exact-law
+    estimator, see problems/kfp_ou.sample_ground_truth_weighted).  With
+    H = A^T A and per-stamp weighted ref moments m_t = sum_j w_{j,t},
+    rsum_t = sum_j w_{j,t} r_{j,t}, rsq_t = sum_j w_{j,t} r^T H r:
 
-        sum_j q(x - r_j)           = m/2 x^T H x - x^T H rsum_t + rsq_t/2
-                                     + m b.x - b.rsum_t
-        sum_j grad q(x - r_j)      = m H x - H rsum_t + m b
-        sum_j v^T Hess q v         = m v^T H v
+        sum_j w_j q(x - r_j)           = m_t/2 x^T H x - x^T H rsum_t
+                                         + rsq_t/2 + m_t b.x - b.rsum_t
+        sum_j w_j grad q(x - r_j)      = m_t H x - H rsum_t + m_t b
+        sum_j w_j v^T Hess q v         = m_t v^T H v
 
-    Returns dict of SUMS over valid refs, shaped {value [n,nt],
+    Returns dict of weighted SUMS over refs, shaped {value [n,nt],
     nabla_direct [n,nt,d], hess [n,nt]}.
     """
     H = A.T @ A
     w = valid.astype(x.dtype)
-    m = jnp.sum(w)
-    rsum = jnp.einsum("m,mtd->td", w, refs)
-    rsq = jnp.einsum("m,mtd,de,mte->t", w, refs, H, refs)
+    if w.ndim == 1:
+        m_t = jnp.sum(w)  # scalar — broadcasts everywhere below
+        m_nd = m_t
+        rsum = jnp.einsum("m,mtd->td", w, refs)
+        rsq = jnp.einsum("m,mtd,de,mte->t", w, refs, H, refs)
+    else:
+        m_t = jnp.sum(w, axis=0)[None, :]  # [1, nt]
+        m_nd = m_t[..., None]  # [1, nt, 1] against [n, nt, d]
+        rsum = jnp.einsum("mt,mtd->td", w, refs)
+        rsq = jnp.einsum("mt,mtd,de,mte->t", w, refs, H, refs)
     xHx = jnp.einsum("ntd,de,nte->nt", x, H, x)
     xHr = jnp.einsum("ntd,td->nt", x @ H, rsum)
     value = (
-        0.5 * m * xHx
+        0.5 * m_t * xHx
         - xHr
         + 0.5 * rsq[None, :]
-        + m * (x @ b)
+        + m_t * (x @ b)
         - (rsum @ b)[None, :]
     )
-    nabla = m * (x @ H) - (rsum @ H)[None, :, :] + m * b
-    hess = m * jnp.einsum("ntd,de,nte->nt", v, H, v)
+    nabla = m_nd * (x @ H) - (rsum @ H)[None, :, :] + m_nd * b
+    hess = m_t * jnp.einsum("ntd,de,nte->nt", v, H, v)
     return {"value": value, "nabla_direct": nabla, "hess": hess}
 
 

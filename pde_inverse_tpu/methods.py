@@ -349,11 +349,9 @@ class ConsistencyBased(Method):
             return None
         rng_init, rng_term, rng_0T = jax.random.split(rng, 3)
         if inst.sample_scheme == "exact":
-            if self.cfg.pde_instance.init_broaden > 1.0:
-                raise ValueError(
-                    "pde_instance.init_broaden reweights SDE sampling; "
-                    "exact-law instances sample the true law directly"
-                )
+            # Under tail-boost (init_broaden > 1) only the 0T batch is
+            # broadened+weighted; boundary expectations stay under the true
+            # laws — each loss term is a separately unbiased expectation.
             return {
                 "initial": inst.distribution_initial.sample(
                     tr.batch_size_init, rng_init
@@ -383,9 +381,13 @@ class ConsistencyBased(Method):
                 if tr.sample_mode == "random_time"
                 else (tr.n_time_stamps, tr.sample_per_time)
             )
+            taus = inst.get_time_sample_ground_truth(rng_0T, spec)
+            if self._tail_boost():
+                out = inst.sample_ground_truth_weighted(rng_0T, spec)
+                return {**out, "tau_0T": taus}
             return {
                 "0T": inst.sample_ground_truth(rng_0T, spec),
-                "tau_0T": inst.get_time_sample_ground_truth(rng_0T, spec),
+                "tau_0T": taus,
             }
         if self._tail_boost():
             return inst.sample_path_only_weighted(rng_0T, tr.batch_size_0T)
@@ -393,13 +395,21 @@ class ConsistencyBased(Method):
 
     def _tail_boost(self) -> bool:
         """Tail-boost importance sampling is on (pde_instance.init_broaden
-        > 1) and the instance implements the weighted entry points."""
+        > 1) and the instance implements a weighted entry point — the SDE
+        family's trajectory reweighting (sample_path_only_weighted,
+        KFP-GMM) or the exact-law family's per-stamp reweighting
+        (sample_ground_truth_weighted, KFP-OU / KMV)."""
         if self.cfg.pde_instance.init_broaden <= 1.0:
             return False
-        if not hasattr(self.pde_instance, "sample_path_only_weighted"):
+        inst = self.pde_instance
+        if not (
+            hasattr(inst, "sample_path_only_weighted")
+            or hasattr(inst, "sample_ground_truth_weighted")
+        ):
             raise ValueError(
                 "pde_instance.init_broaden > 1 needs an instance with "
-                "weighted online sampling (Kinetic-Fokker-Planck GMM)"
+                "weighted online sampling (Kinetic-Fokker-Planck GMM, "
+                "Kinetic-Fokker-Planck OU, Kinetic-McKean-Vlasov)"
             )
         return True
 

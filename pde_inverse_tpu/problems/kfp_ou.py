@@ -62,6 +62,14 @@ class KineticFokkerPlanckOU(ProblemInstance):
 
     def __init__(self, cfg: Config, rng: jax.Array):
         super().__init__(cfg, rng)
+        broaden = cfg.pde_instance.init_broaden
+        if broaden < 1.0:
+            raise ValueError("pde_instance.init_broaden must be >= 1.0")
+        if broaden > 1.0 and self.sample_mode != "online":
+            raise ValueError(
+                "pde_instance.init_broaden reweights ONLINE sampling; "
+                "offline datasets are drawn from the true law"
+            )
         c = make_configuration(self.dim)
         self.configuration = c
         self.gamma_friction = c["gamma_friction"]
@@ -129,6 +137,41 @@ class KineticFokkerPlanckOU(ProblemInstance):
         if isinstance(batch_size, int):
             return self.distribution_time.sample(batch_size // 100, rng_t)
         return self._grid_times(rng_t, batch_size[0])
+
+    def sample_ground_truth_weighted(self, rng: jax.Array, batch_size: BatchSpec):
+        """Tail-boost sampling for exact-law instances
+        (pde_instance.init_broaden = s > 1): grid-time samples drawn from
+        the s-broadened law q_t = N(m_t, s^2 P_t) with exact per-(sample,
+        stamp) importance weights computed from the sampling noise itself:
+        z = m_t + s L_t eps with eps ~ N(0, I) gives
+
+            w = p_t(z) / q_t(z) = s^D exp(-(s^2 - 1) ||eps||^2 / 2) <= s^D
+
+        (D = 2 dim), so every weighted stamp expectation is an unbiased
+        estimate of the true-law expectation while the sampler covers the
+        law's tail ~s^2 x more densely.  Same rng layout as
+        sample_ground_truth — get_time_sample_ground_truth stays aligned,
+        and s = 1 reproduces the unweighted samples bitwise.  grid_time
+        only (the random-time mode has no batch layout for weights).
+        Returns {"0T" [n*nt, D], "w_0T" [n*nt]} flat and aligned.
+        Reference analogue: none (it samples the true law only,
+        …OU.py:158-190)."""
+        if isinstance(batch_size, int):
+            raise ValueError(
+                "pde_instance.init_broaden needs grid_time sampling for "
+                "exact-law instances (solver.train.sample_mode=grid_time)"
+            )
+        s = self.cfg.pde_instance.init_broaden
+        n_times, per_time = batch_size
+        rng_t, rng_x = jax.random.split(rng)
+        ts = self._grid_times(rng_t, n_times)
+        means, covs = self.oracle.moments_grid(ts)
+        chols = jnp.linalg.cholesky(covs)
+        D = 2 * self.dim
+        eps = jax.random.normal(rng_x, (per_time, n_times, D))
+        z = s * jnp.einsum("tij,ntj->nti", chols, eps) + means
+        logw = D * jnp.log(s) - 0.5 * (s**2 - 1.0) * jnp.sum(eps**2, axis=-1)
+        return {"0T": z.reshape(-1, D), "w_0T": jnp.exp(logw).reshape(-1)}
 
     # -- offline dataset ---------------------------------------------------------
 

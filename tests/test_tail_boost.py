@@ -199,7 +199,7 @@ class TestGuards:
         with pytest.raises(ValueError, match=">= 1.0"):
             KineticFokkerPlanckGMM(cfg, rng)
 
-    def test_exact_scheme_is_rejected(self, rng):
+    def test_exact_offline_is_rejected(self, rng):
         from pde_inverse_tpu.problems import KineticFokkerPlanckOU
 
         cfg = apply_overrides(
@@ -208,11 +208,207 @@ class TestGuards:
                 "pde_instance.name=Kinetic-Fokker-Planck",
                 "pde_instance.potential=Quadratic",
                 "pde_instance.domain_dim=2",
-                "pde_instance.sample_mode=online",
+                "pde_instance.sample_mode=offline",
+                "pde_instance.init_broaden=1.5",
+            ],
+        )
+        with pytest.raises(ValueError, match="ONLINE"):
+            KineticFokkerPlanckOU(cfg, rng)
+
+    def test_exact_random_time_is_rejected(self, rng):
+        """The exact-law weighted sampler needs the grid_time batch
+        layout; random-time int batches have no (sample, stamp) weight
+        grid."""
+        from pde_inverse_tpu.problems import KineticFokkerPlanckOU
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.potential=Quadratic",
+                "pde_instance.domain_dim=2",
                 "pde_instance.init_broaden=1.5",
             ],
         )
         inst = KineticFokkerPlanckOU(cfg, rng)
+        with pytest.raises(ValueError, match="grid_time"):
+            inst.sample_ground_truth_weighted(rng, 400)
+
+
+def _kmv_cfg(*extra):
+    return apply_overrides(
+        Config(),
+        [
+            "pde_instance.name=Kinetic-McKean-Vlasov",
+            "pde_instance.domain_dim=2",
+            "pde_instance.total_evolving_time=1",
+            "solver.train.sample_mode=grid_time",
+            "solver.train.n_time_stamps=3",
+            "solver.train.sample_per_time=24",
+            "solver.train.batch_size_init=0",
+            "solver.train.batch_size_terminal=0",
+            *extra,
+        ],
+    )
+
+
+class TestExactLawSampler:
+    """The exact-law (KFP-OU / KMV) broadened sampler: per-stamp law
+    N(m_t, s^2 P_t) with exact weights from the sampling noise itself."""
+
+    def test_weights_bounded_and_unit_mean(self, rng):
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        s = 1.5
+        cfg = _kmv_cfg(f"pde_instance.init_broaden={s}")
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        out = inst.sample_ground_truth_weighted(
+            jax.random.fold_in(rng, 1), (3, 40_000)
+        )
+        w = np.asarray(out["w_0T"])
+        assert w.max() <= s ** (2 * inst.dim) * (1 + 1e-5)
+        assert abs(w.mean() - 1.0) < 0.02
+
+    def test_weighted_moment_is_unbiased(self, rng):
+        """E_q[w ||z||^2] per stamp must equal the oracle's exact
+        tr(P_t) + ||m_t||^2."""
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = _kmv_cfg("pde_instance.init_broaden=1.5")
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        nt, per = 3, 120_000
+        rng_b = jax.random.fold_in(rng, 2)
+        out = inst.sample_ground_truth_weighted(rng_b, (nt, per))
+        ts = inst.get_time_sample_ground_truth(rng_b, (nt, per))
+        means, covs = inst.oracle.moments_grid(ts)
+        exact = jnp.trace(covs, axis1=-2, axis2=-1) + jnp.sum(means**2, -1)
+        z = out["0T"].reshape(per, nt, -1)
+        w = out["w_0T"].reshape(per, nt)
+        est = np.asarray(jnp.mean(w * jnp.sum(z**2, -1), axis=0))
+        np.testing.assert_allclose(est, np.asarray(exact), rtol=0.03)
+
+    def test_s1_reproduces_plain_sampler_bitwise(self, rng):
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = _kmv_cfg()  # init_broaden = 1.0
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        rng_b = jax.random.fold_in(rng, 3)
+        plain = inst.sample_ground_truth(rng_b, (3, 24))
+        out = inst.sample_ground_truth_weighted(rng_b, (3, 24))
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(out["0T"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["w_0T"]), np.ones(plain.shape[0])
+        )
+
+
+class TestExactLawKMVLoss:
+    """Tail-boost through the KMV collapse paths: both expectation layers
+    (outer point means and inner mean-field ref statistics) reweighted."""
+
+    def _quad_setup(self, rng, broaden):
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        extra = (
+            [f"pde_instance.init_broaden={broaden}"] if broaden > 1 else []
+        )
+        cfg = _kmv_cfg(*extra)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
         method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
-        with pytest.raises(ValueError, match="exact-law"):
-            method.sample_data(jax.random.fold_in(rng, 4))
+        net, params = method.create_model_fn()  # registers the closed form
+        return inst, net, params, method
+
+    def test_weighted_keys_present(self, rng):
+        inst, net, params, method = self._quad_setup(rng, 1.5)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 4))
+        assert "w_0T" in data
+        assert data["w_0T"].shape == (data["0T"].shape[0],)
+        assert "tau_0T" in data
+
+    def test_unit_weights_identity_quadratic(self, rng):
+        """w = 1 arrays through the weighted closed-form collapse must
+        reproduce the plain path to float tolerance (the weighted branch
+        uses the algebraically-equal uncentered moment form)."""
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv
+
+        inst, net, params, method = self._quad_setup(rng, 1.0)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 5))
+        weighted = dict(data, w_0T=jnp.ones(data["0T"].shape[0]))
+        out_p = kmv.value_and_grad_fn(
+            net.apply, params, data, rng, inst, closed_form_quadratic=True
+        )
+        out_w = kmv.value_and_grad_fn(
+            net.apply, params, weighted, rng, inst, closed_form_quadratic=True
+        )
+        np.testing.assert_allclose(
+            float(out_p["loss"]), float(out_w["loss"]), rtol=2e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_p["grad"]),
+            jax.tree_util.tree_leaves(out_w["grad"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+
+    def test_unit_weights_identity_fourier(self, rng):
+        """Same identity through the fourier-kernel collapse (with
+        quadratic head: exercises the weighted _quad_head_stats path)."""
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv
+        from pde_inverse_tpu.models.fourier_kernel import FourierKernelModel
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = _kmv_cfg()
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        net = FourierKernelModel(dim=inst.dim, n_features=8, quadratic_head=True)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(inst.dim))
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 6))
+        weighted = dict(data, w_0T=jnp.ones(data["0T"].shape[0]))
+        kwargs = dict(blockwise_module=net)
+        out_p = kmv.value_and_grad_fn(
+            net.apply, params, data, rng, inst, **kwargs
+        )
+        out_w = kmv.value_and_grad_fn(
+            net.apply, params, weighted, rng, inst, **kwargs
+        )
+        np.testing.assert_allclose(
+            float(out_p["loss"]), float(out_w["loss"]), rtol=2e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_p["grad"]),
+            jax.tree_util.tree_leaves(out_w["grad"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+
+    def test_weighted_loss_matches_plain_in_expectation(self, rng):
+        """End-to-end unbiasedness through methods.sample_data + the
+        closed-form collapse: averaged over independent batches at fixed
+        params, broadened+weighted and plain losses must agree."""
+        from functools import partial
+
+        inst_p, net, params, method_p = self._quad_setup(rng, 1.0)
+        _, _, _, method_w = self._quad_setup(rng, 1.3)
+
+        def mean_loss(method, n=32):
+            vg = jax.jit(partial(method.value_and_grad_fn, net.apply, params))
+            keys = jax.random.split(jax.random.fold_in(rng, 9), n)
+            return np.mean([float(vg(k)["loss"]) for k in keys])
+
+        mp = mean_loss(method_p)
+        mw = mean_loss(method_w)
+        assert abs(mp - mw) / max(abs(mp), 1.0) < 0.15
+
+    def test_pairwise_paths_are_rejected(self, rng):
+        """Importance weights only thread through the collapse paths; the
+        generic O(n^2) pairwise reduction must refuse them loudly."""
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv
+        from pde_inverse_tpu.models.mlp import PotentialMLP
+
+        inst, _, _, method = self._quad_setup(rng, 1.5)
+        data = jax.jit(method.sample_data)(jax.random.fold_in(rng, 7))
+        net = PotentialMLP(hidden_dims=[8], feature_dim=8)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(inst.dim))
+        with pytest.raises(ValueError, match="collapse"):
+            kmv.value_and_grad_fn(net.apply, params, data, rng, inst)
