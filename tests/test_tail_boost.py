@@ -382,6 +382,63 @@ class TestExactLawKMVLoss:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
             )
 
+    def test_weighted_collapse_matches_bruteforce(self, rng):
+        """Deterministic equality: with arbitrary per-(ref, stamp) weights
+        w, both weighted collapse paths must reproduce the brute-force
+        weighted pairwise sums (1/m) sum_j w_{j,t} {Phi, grad Phi,
+        v^T Hess Phi v}(x - r_j) exactly (to float tolerance)."""
+        from pde_inverse_tpu.losses import fourier_meanfield as fmf
+        from pde_inverse_tpu.losses.kinetic_mckean_vlasov import (
+            _quadratic_meanfield_stats,
+        )
+        from pde_inverse_tpu.models.fourier_kernel import FourierKernelModel
+
+        n, nt, d = 9, 3, 2
+        kx, kv, kw, kp = jax.random.split(rng, 4)
+        x = jax.random.normal(kx, (n, nt, d))
+        v = jax.random.normal(kv, (n, nt, d))
+        w = jax.random.uniform(kw, (n, nt), minval=0.2, maxval=2.0)
+
+        def brute(Phi):
+            diff = x[None] - x[:, None]  # [m, n, nt, d]
+            val3 = jax.vmap(jax.vmap(jax.vmap(Phi)))
+            grad3 = jax.vmap(jax.vmap(jax.vmap(jax.grad(Phi))))
+
+            def quad(xi, vi):
+                _, hv = jax.jvp(jax.grad(Phi), (xi,), (vi,))
+                return jnp.dot(vi, hv)
+
+            quad3 = jax.vmap(jax.vmap(jax.vmap(quad, (0, 0)), (0, 0)), (0, None))
+            wm = w[:, None, :]  # ref-axis weights broadcast over n
+            return {
+                "value": jnp.mean(wm * val3(diff), axis=0),
+                "nabla": jnp.mean(wm[..., None] * grad3(diff), axis=0),
+                "hess": jnp.mean(wm * quad3(diff, v), axis=0),
+            }
+
+        # fourier-kernel collapse (quadratic head on)
+        net = FourierKernelModel(dim=d, n_features=8, quadratic_head=True)
+        params = net.init(kp, jnp.zeros(d))
+        got = fmf.meanfield_stats(net, params, x, v, x, ref_weights=w)
+        Phi_fk = lambda xi: net.apply(params, xi)[0]
+        want = brute(Phi_fk)
+        for k in ("value", "nabla", "hess"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), rtol=5e-5, atol=1e-6
+            )
+
+        # quadratic closed-form collapse
+        A = jax.random.normal(jax.random.fold_in(rng, 11), (d, d))
+        Phi_q = lambda y: 0.5 * jnp.dot(y, (A.T @ A) @ y) + jnp.dot(
+            jnp.ones(d), y
+        )
+        got_q = _quadratic_meanfield_stats(Phi_q, x, v, ref_weights=w)
+        want_q = brute(Phi_q)
+        for k in ("value", "nabla", "hess"):
+            np.testing.assert_allclose(
+                np.asarray(got_q[k]), np.asarray(want_q[k]), rtol=5e-5, atol=1e-6
+            )
+
     def test_weighted_loss_matches_plain_in_expectation(self, rng):
         """End-to-end unbiasedness through methods.sample_data + the
         closed-form collapse: averaged over independent batches at fixed
