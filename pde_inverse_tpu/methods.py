@@ -402,6 +402,17 @@ class ConsistencyBased(Method):
         if self.cfg.pde_instance.init_broaden <= 1.0:
             return False
         inst = self.pde_instance
+        inst_s = inst.cfg.pde_instance.init_broaden
+        if inst_s != self.cfg.pde_instance.init_broaden:
+            # The weighted samplers read s from the INSTANCE's config; a
+            # method built with a different cfg would silently draw
+            # weights at the wrong (or unit) broadening.
+            raise ValueError(
+                "pde_instance.init_broaden differs between the method's "
+                f"config ({self.cfg.pde_instance.init_broaden}) and the "
+                f"problem instance's ({inst_s}); rebuild the instance with "
+                "the same config"
+            )
         if not (
             hasattr(inst, "sample_path_only_weighted")
             or hasattr(inst, "sample_ground_truth_weighted")
