@@ -90,9 +90,14 @@ def main(ckpt_dirs: str, overrides):
         out = []
         if "quad_A" in p:
             out.append("neural_network.quadratic_head=True")
+            # quad_A is [d, d]: recover the problem dimension (a d=4 ckpt
+            # analyzed with the preset's d=2 otherwise fails param reload)
+            out.append(f"pde_instance.domain_dim={p['quad_A'].shape[0]}")
         if "omega" in p:  # fourier-kernel class (models/fourier_kernel.py)
             out.append("neural_network.model=fourier-kernel")
             out.append(f"neural_network.fourier_features={p['omega'].shape[0]}")
+            if "quad_A" not in p:  # omega is [K, d]
+                out.append(f"pde_instance.domain_dim={p['omega'].shape[1]}")
         elif "Dense_0" in p:  # PotentialMLP stack (models/mlp.py)
             n_dense = sum(1 for k in p if k.startswith("Dense_"))
             hidden = p["Dense_0"]["kernel"].shape[1]
