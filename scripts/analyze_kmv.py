@@ -18,7 +18,10 @@ Usage:
       estimation_mode=non-parametric neural_network.hidden_dim=32 ...
 
 The first positional is one checkpoint dir or a comma-separated list
-(members are AVERAGED in gradient-field space, like analyze_np.py).
+(members are AVERAGED in gradient-field space, like analyze_np.py;
+`--weights=a,b` for a weighted average, `--sweep` prints the full alpha
+grid for a 2-member pair, `--probe-seed=N` draws an alternate probe so
+weights can be selected held-out and reported on the default probe).
 Remaining args are config overrides; `preset=NAME` selects the base
 preset (default KMV-nonparametric-fourier — the production FK recipe, so
 FK checkpoints need no overrides).  Reference analogue: none (the
@@ -68,11 +71,18 @@ def main(ckpt_dirs: str, overrides):
     enable_compilation_cache()
     preset_name = "KMV-nonparametric-fourier"
     use_ema_state = "--ema" in overrides
+    probe_seed, weights, sweep = 123, None, "--sweep" in overrides
     rest = []
     for o in overrides:
         if o.startswith("preset="):
             preset_name = o.split("=", 1)[1]
-        elif o != "--ema":
+        elif o.startswith("--probe-seed="):
+            # held-out weight selection: pick --weights on one probe seed,
+            # report on the default (123) — never tune on the eval probe
+            probe_seed = int(o.split("=", 1)[1])
+        elif o.startswith("--weights="):
+            weights = [float(w) for w in o.split("=", 1)[1].split(",")]
+        elif o not in ("--ema", "--sweep"):
             rest.append(o)
     dirs = [d for d in ckpt_dirs.split(",") if d]
     members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
@@ -128,7 +138,7 @@ def main(ckpt_dirs: str, overrides):
     # differences of exact path samples across the horizon), independent
     # key, larger batch.
     batch, n_times = 50_000, 8
-    rng_t, rng_z, rng_perm = jax.random.split(jax.random.PRNGKey(123), 3)
+    rng_t, rng_z, rng_perm = jax.random.split(jax.random.PRNGKey(probe_seed), 3)
     ts = inst.distribution_time.sample(n_times, rng_t)
     means, covs = inst.oracle.moments_grid(ts)
     chols = jnp.linalg.cholesky(covs)
@@ -138,23 +148,48 @@ def main(ckpt_dirs: str, overrides):
     partner = jax.random.permutation(rng_perm, x.shape[0])
     diff = x - x[partner]
 
+    if weights is not None and len(weights) != len(members):
+        raise SystemExit("--weights length must match the member count")
+    w = np.asarray(weights if weights is not None else [1.0] * len(members))
+    w = w / w.sum()
+
     @jax.jit
     def fields(y):
         preds = [
             ad.batched_grad(lambda yi: net.apply(p, yi)[0], y) for p in members
         ]
-        return sum(preds) / len(preds), ad.batched_grad(inst.Phi_true_fn, y)
+        return preds, ad.batched_grad(inst.Phi_true_fn, y)
 
-    pred, true = fields(diff)
+    member_preds, true = fields(diff)
+    pred = sum(wi * p for wi, p in zip(w, member_preds))
     num = jnp.sum((pred - true) ** 2, -1)
     den = jnp.mean(jnp.sum(true**2, -1))
     if len(members) > 1:
-        for d, p in zip(dirs, members):
-            mp = jax.jit(
-                lambda y, p: ad.batched_grad(lambda yi: net.apply(p, yi)[0], y)
-            )(diff, p)
-            r = float(jnp.sqrt(jnp.mean(jnp.sum((mp - true) ** 2, -1)) / den))
+        if weights is not None:
+            print(f"member weights: {np.round(w, 4).tolist()}")
+        for d, p in zip(dirs, member_preds):
+            r = float(jnp.sqrt(jnp.mean(jnp.sum((p - true) ** 2, -1)) / den))
             print(f"  member {d}: interaction-gradient rel-L2 {r:.4e}")
+    if sweep and len(members) == 2:
+        # alpha grid over the 2-member convex combination, overall and
+        # farthest-1% tail per alpha — the member fields are already in
+        # hand, so the sweep is free numpy. Run with --probe-seed=N to
+        # select alpha held-out, then report with --weights on the
+        # default probe.
+        p0, p1 = (np.asarray(p) for p in member_preds)
+        t_np = np.asarray(true)
+        r_all = np.linalg.norm(np.asarray(diff), axis=-1)
+        tail = r_all >= np.quantile(r_all, 0.99)
+        d_all = (t_np**2).sum(-1).mean()
+        d_tail = (t_np[tail] ** 2).sum(-1).mean()
+        print("alpha sweep (weight on member 1):")
+        for a in np.round(np.arange(0.0, 1.01, 0.1), 2):
+            pa = a * p0 + (1 - a) * p1
+            e = ((pa - t_np) ** 2).sum(-1)
+            print(
+                f"  alpha={a:.1f}: rel-L2 {np.sqrt(e.mean() / d_all):.4e}"
+                f"  far-1% {np.sqrt(e[tail].mean() / d_tail):.4e}"
+            )
     print(
         "interaction-gradient rel-L2 "
         f"({batch*n_times} diffs, {n_times} stamps): "
