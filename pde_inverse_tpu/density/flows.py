@@ -33,6 +33,11 @@ _ACTS = {
     "elu": nn.elu,
     "silu": nn.silu,
     "softplus": nn.softplus,
+    # reference ActivationFactory parity (core/normalizing_flow.py:85-93):
+    # flax has no prelu module; the reference's torch.nn.PReLU default is a
+    # leaky relu with a fixed 0.25 negative slope (the learnable scalar stays
+    # at its init under the reference's usage).
+    "prelu": lambda x: nn.leaky_relu(x, negative_slope=0.25),
 }
 
 

@@ -49,12 +49,35 @@ class Method:
         raise NotImplementedError
 
 
+def pairwise_chunk_clamp(cfg, closed_form: bool, backend: str):
+    """Safe `steps_per_chunk` cap for the blockwise non-parametric KMV
+    pairwise path on the tunneled TPU backend, or None when no cap is
+    needed.  Scan chunks > ~10 steps over this path crash the axon worker
+    (observed round 3: chunk=50/100 crash, chunk=5 runs — likely a
+    backend program-size limit); the trainer clamps to this instead of
+    trusting a print warning the user can miss."""
+    if (
+        cfg.pde_instance.name == "Kinetic-McKean-Vlasov"
+        and cfg.estimation_mode == "non-parametric"
+        and cfg.solver.train.kmv_blockwise
+        and not closed_form
+        and cfg.train.steps_per_chunk > 10
+        and backend == "axon"
+    ):
+        return 5
+    return None
+
+
 class ConsistencyBased(Method):
     """Weak-form consistency estimator over {FP, KFP, KMV}."""
 
     # Set by the trainer to shard per-step batches over the mesh's data axis
     # (parallel.mesh.MeshSpec); None = single-device.
     mesh_spec = None
+
+    # Set by create_model_fn when the configured steps_per_chunk is unsafe
+    # for this path on this backend; the trainer clamps its chunk size to it.
+    chunk_clamp = None
 
     def _loss_module(self):
         name = self.cfg.pde_instance.name
@@ -68,20 +91,16 @@ class ConsistencyBased(Method):
         net = get_model(self.cfg, self.pde_instance)
         self._model = net
         tr = self.cfg.solver.train
-        if (
-            self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov"
-            and self.cfg.estimation_mode == "non-parametric"
-            and tr.kmv_blockwise
-            and not self._kmv_closed_form()
-            and self.cfg.train.steps_per_chunk > 10
-            and jax.default_backend() == "axon"
-        ):
+        self.chunk_clamp = pairwise_chunk_clamp(
+            self.cfg, self._kmv_closed_form(), jax.default_backend()
+        )
+        if self.chunk_clamp is not None:
             print(
                 "[warn] blockwise non-parametric KMV with "
                 f"train.steps_per_chunk={self.cfg.train.steps_per_chunk}: "
                 "scan chunks > ~10 steps over the pairwise path crash the "
                 "tunneled TPU worker (observed round 3; chunk=5 runs). "
-                "Set train.steps_per_chunk=5 for this path."
+                f"Auto-clamping the trainer chunk to {self.chunk_clamp}."
             )
         if (
             self.cfg.pde_instance.name == "Kinetic-McKean-Vlasov"

@@ -189,6 +189,11 @@ class Trainer:
         cfg = self.cfg
         n_iters = cfg.train.number_of_iterations
         k = min(cfg.train.steps_per_chunk, n_iters)
+        # Backend-safety clamp from the method (methods.pairwise_chunk_clamp):
+        # a user override of steps_per_chunk must not crash the axon worker.
+        clamp = getattr(self.method, "chunk_clamp", None)
+        if clamp is not None:
+            k = min(k, clamp)
         chunk_fn = self._build_chunk_fn()
 
         params = self.params

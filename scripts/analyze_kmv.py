@@ -150,7 +150,15 @@ def main(ckpt_dirs: str, overrides):
 
     if weights is not None and len(weights) != len(members):
         raise SystemExit("--weights length must match the member count")
+    if sweep and len(members) != 2:
+        raise SystemExit(
+            f"--sweep needs exactly 2 members, got {len(members)}"
+        )
     w = np.asarray(weights if weights is not None else [1.0] * len(members))
+    # A zero sum would normalize to NaN and a negative sum silently flips
+    # every weight's sign — reject both up front.
+    if (w <= 0).any() or not np.isfinite(w.sum()) or w.sum() <= 0:
+        raise SystemExit(f"--weights must be positive (got {w.tolist()})")
     w = w / w.sum()
 
     @jax.jit
@@ -160,6 +168,10 @@ def main(ckpt_dirs: str, overrides):
         ]
         return preds, ad.batched_grad(inst.Phi_true_fn, y)
 
+    # Self-describing header: a --probe-seed run must be distinguishable
+    # from a default-probe run in the log itself (held-out selection vs
+    # reporting numbers must never be mixed up post hoc).
+    print(f"probe: PRNGKey({probe_seed}), {batch}x{n_times} diffs")
     member_preds, true = fields(diff)
     pred = sum(wi * p for wi, p in zip(w, member_preds))
     num = jnp.sum((pred - true) ** 2, -1)
@@ -182,7 +194,7 @@ def main(ckpt_dirs: str, overrides):
         tail = r_all >= np.quantile(r_all, 0.99)
         d_all = (t_np**2).sum(-1).mean()
         d_tail = (t_np[tail] ** 2).sum(-1).mean()
-        print("alpha sweep (weight on member 1):")
+        print(f"alpha sweep (alpha = weight on first member, {dirs[0]}):")
         for a in np.round(np.arange(0.0, 1.01, 0.1), 2):
             pa = a * p0 + (1 - a) * p1
             e = ((pa - t_np) ** 2).sum(-1)

@@ -123,3 +123,21 @@ class TestRealNVP:
         for _ in range(300):
             p, s, l = step(p, s)
         assert float(l) < float(l0) - 0.5, (float(l0), float(l))
+
+
+class TestActivations:
+    @pytest.mark.parametrize(
+        "act", ["relu", "tanh", "celu", "gelu", "elu", "silu", "softplus", "prelu"]
+    )
+    def test_every_activation_invertible(self, rng, act):
+        """Full ActivationFactory parity incl. prelu (reference
+        core/normalizing_flow.py:85-93): each activation must build and
+        keep the flow exactly invertible."""
+        flow = _flow(activation=act)
+        x = jax.random.normal(rng, (8, 2))
+        t = jnp.float32(0.3)
+        params = flow.init(jax.random.PRNGKey(0), t, x, False)
+        y, ldj_f = flow.apply(params, t, x, False)
+        x_back, ldj_r = flow.apply(params, t, y, True)
+        np.testing.assert_allclose(x_back, x, atol=1e-5)
+        np.testing.assert_allclose(ldj_f + ldj_r, 0.0, atol=1e-5)

@@ -299,3 +299,56 @@ class TestTrainer:
         # and the continued run checkpointed step 30
         mgr_steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
         assert 30 in mgr_steps
+
+
+class TestChunkClamp:
+    """Backend-safety auto-clamp (round-4 VERDICT #4a): a user override of
+    train.steps_per_chunk must not crash the axon worker on the blockwise
+    non-parametric KMV pairwise path — the trainer clamps to
+    methods.pairwise_chunk_clamp instead of trusting a print warning."""
+
+    def test_clamp_rule(self):
+        from pde_inverse_tpu.methods import pairwise_chunk_clamp
+
+        base = [
+            "pde_instance.name=Kinetic-McKean-Vlasov",
+            "estimation_mode=non-parametric",
+            "solver.train.kmv_blockwise=True",
+            "train.steps_per_chunk=50",
+        ]
+        cfg = apply_overrides(Config(), base)
+        assert pairwise_chunk_clamp(cfg, False, "axon") == 5
+        # only the tunneled backend needs it
+        assert pairwise_chunk_clamp(cfg, False, "cpu") is None
+        # the closed-form collapse path never materializes the pairwise scan
+        assert pairwise_chunk_clamp(cfg, True, "axon") is None
+        # already-safe chunk sizes pass through
+        cfg5 = apply_overrides(
+            Config(), base[:-1] + ["train.steps_per_chunk=5"]
+        )
+        assert pairwise_chunk_clamp(cfg5, False, "axon") is None
+        # parametric / non-blockwise / non-KMV cells are unaffected
+        for off in (
+            ["estimation_mode=parametric"],
+            ["solver.train.kmv_blockwise=False"],
+            ["pde_instance.name=Kinetic-Fokker-Planck"],
+        ):
+            c = apply_overrides(Config(), base[: len(base) - 1] + off + ["train.steps_per_chunk=50"])
+            assert pairwise_chunk_clamp(c, False, "axon") is None
+
+    def test_trainer_applies_clamp_bitwise(self, rng):
+        """Per-step keys are absolute-step-indexed, so a chunk=40 run
+        clamped to 5 must be BITWISE identical to a native chunk=5 run."""
+        cfg_big = _cfg(n_iters=20, chunk=40)
+        _, trainer_big = _build(cfg_big, rng)
+        trainer_big.method.chunk_clamp = 5
+        p_clamped = jax.device_get(trainer_big.fit())
+
+        cfg5 = _cfg(n_iters=20, chunk=5)
+        _, trainer5 = _build(cfg5, rng)
+        p_native = jax.device_get(trainer5.fit())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_clamped),
+            jax.tree_util.tree_leaves(p_native),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
