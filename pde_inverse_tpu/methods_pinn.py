@@ -107,12 +107,23 @@ class PINN(Method):
         rng_t, rng_x = jax.random.split(rng)
         ts = inst.distribution_time.sample(n_t, rng_t)
 
+        def sample_one(t, key):
+            mean, cov = inst.moments(t)
+            chol = jnp.linalg.cholesky(cov)
+            eps = jax.random.normal(key, (n_x, inst.dim))
+            return eps @ chol.T + mean
+
+        # Collocation points drawn once for all stamps (bitwise-identical
+        # keys/draws to the former inside-loss sampling) so the per-stamp
+        # batch axis can carry a data-axis sharding constraint — GSPMD then
+        # shards the residual/HVP work and psums the scalar means over ICI.
+        xs = jax.vmap(sample_one)(ts, jax.random.split(rng_x, n_t))
+        from pde_inverse_tpu.parallel.mesh import shard_stamp_batch
+
+        xs = shard_stamp_batch(xs, self.mesh_spec)
+
         def loss_fn(params_):
-            def one(t, key):
-                mean, cov = inst.moments(t)
-                chol = jnp.linalg.cholesky(cov)
-                eps = jax.random.normal(key, (n_x, inst.dim))
-                x = eps @ chol.T + mean
+            def one(t, x):
                 r = self._residual(forward_fn, params_, t, x)
                 V = lambda xi: forward_fn(params_, xi)[0]
                 gap = jnp.mean(
@@ -127,7 +138,7 @@ class PINN(Method):
                 )
                 return jnp.mean(r**2), gap
 
-            losses, gaps = jax.vmap(one)(ts, jax.random.split(rng_x, n_t))
+            losses, gaps = jax.vmap(one)(ts, xs)
             return jnp.mean(losses), jnp.mean(gaps)
 
         (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -207,12 +218,20 @@ class PINNKinetic(Method):
         rng_t, rng_z = jax.random.split(rng)
         ts = inst.distribution_time.sample(n_t, rng_t)
 
+        def sample_one(t, key):
+            mean, cov = inst.oracle.moments(t)
+            chol = jnp.linalg.cholesky(cov)
+            eps = jax.random.normal(key, (n_z, 2 * inst.dim))
+            return eps @ chol.T + mean
+
+        # Same data-axis collocation sharding as the overdamped PINN.
+        zs = jax.vmap(sample_one)(ts, jax.random.split(rng_z, n_t))
+        from pde_inverse_tpu.parallel.mesh import shard_stamp_batch
+
+        zs = shard_stamp_batch(zs, self.mesh_spec)
+
         def loss_fn(params_):
-            def one(t, key):
-                mean, cov = inst.oracle.moments(t)
-                chol = jnp.linalg.cholesky(cov)
-                eps = jax.random.normal(key, (n_z, 2 * inst.dim))
-                z = eps @ chol.T + mean
+            def one(t, z):
                 r = self._residual(forward_fn, params_, t, z)
                 V = lambda xi: forward_fn(params_, xi)[0]
                 x = z[:, : inst.dim]
@@ -228,7 +247,7 @@ class PINNKinetic(Method):
                 )
                 return jnp.mean(r**2), gap
 
-            losses, gaps = jax.vmap(one)(ts, jax.random.split(rng_z, n_t))
+            losses, gaps = jax.vmap(one)(ts, zs)
             return jnp.mean(losses), jnp.mean(gaps)
 
         (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)

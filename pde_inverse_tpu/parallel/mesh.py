@@ -87,6 +87,17 @@ def shard_tree_batches(tree, spec: Optional[MeshSpec]):
     return jax.tree_util.tree_map(lambda x: shard_batch(x, spec), tree)
 
 
+def shard_stamp_batch(x: jnp.ndarray, spec: Optional[MeshSpec]) -> jnp.ndarray:
+    """Constrain axis 1 of a [n_stamps, batch, ...] array onto the data
+    axis (per-stamp collocation/path batches; no-op when unsplittable)."""
+    if spec is None or x.ndim < 2 or x.shape[1] % spec.n_data != 0:
+        return x
+    parts = [None, DATA_AXIS] + [None] * (x.ndim - 2)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(spec.mesh, P(*parts))
+    )
+
+
 def replicate(tree, spec: Optional[MeshSpec]):
     """Pin a pytree (params/opt state) as fully replicated on the mesh."""
     if spec is None:
