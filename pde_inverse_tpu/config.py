@@ -183,6 +183,21 @@ class SolverTrainConfig:
     # within-chunk correlation of the boundary MC terms for step time;
     # online data policies only (offline loaders ignore it).
     boundary_per_chunk: bool = False
+    # Run-level boundary reservoir (round 4, ROOFLINE §3 follow-up): draw
+    # the boundary batches ONCE before the training loop with this base
+    # batch size (the instance's init/terminal multiples apply on top;
+    # 0 = off), keep them device-resident, and feed them to every step as
+    # a jit argument — the per-step boundary sampling (including the
+    # terminal SDE simulation) disappears from the step entirely.  The
+    # boundary loss terms are still unbiased means; their MC noise is
+    # frozen at O(1/sqrt(reservoir)) for the refresh interval, so size
+    # the reservoir >= the per-step boundary batch it replaces.  Online
+    # data policies only.
+    boundary_reservoir: int = 0
+    # Re-draw the reservoir every this many fused chunks (host-level,
+    # outside the compiled scan; 0 = never).  Bounds how long the frozen
+    # boundary-noise direction persists.
+    boundary_refresh_chunks: int = 0
     # Fused per-point {grad V, v^T Hess V v} provider for the kinetic
     # Fokker-Planck weak-form loss (losses/fused_pointwise.py +
     # ops/pallas/pointwise_kernel.py): "auto" runs the VMEM-resident
@@ -228,6 +243,10 @@ class NetworkConfig:
     # GMM potential (scripts/diag_capacity.py); Fourier features fix it.
     fourier_features: int = 0
     fourier_scale: float = 1.0
+    # fourier-kernel frequency init: "normal" (one scale) or "multiscale"
+    # (per-feature stddev log-uniform in [scale/4, 4*scale] — see
+    # models/fourier_kernel.py)
+    fourier_init: str = "normal"
     # Learnable PSD-quadratic + linear skip term on the potential MLP —
     # restores the confining-potential extrapolation class in the
     # low-density tails the weak-form loss barely constrains.

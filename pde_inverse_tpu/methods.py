@@ -335,15 +335,17 @@ class ConsistencyBased(Method):
             data = shard_tree_batches(data, self.mesh_spec)
         return data
 
-    def sample_boundary(self, rng) -> Dict[str, jnp.ndarray] | None:
+    def sample_boundary(self, rng, batch_size=None) -> Dict[str, jnp.ndarray] | None:
         """Boundary-only batch ({initial, terminal}) for the chunk-cadence
-        refresh (solver.train.boundary_per_chunk): ROOFLINE §3 measured the
-        np production step's sampling as boundary-dominated (the 300k
-        terminal particles are re-simulated through the full SDE EVERY
-        step; the path batch is ~30x cheaper).  Returns None when the data
-        policy has no online boundary to split (offline datasets) — the
-        trainer falls back to per-step sample_data."""
-        data = self._boundary_unsharded(rng)
+        refresh (solver.train.boundary_per_chunk) and the run-level
+        reservoir (solver.train.boundary_reservoir, which passes its own
+        base batch_size): ROOFLINE §3 measured the np production step's
+        sampling as boundary-dominated (the 300k terminal particles are
+        re-simulated through the full SDE EVERY step; the path batch is
+        ~30x cheaper).  Returns None when the data policy has no online
+        boundary to split (offline datasets) — the trainer falls back to
+        per-step sample_data."""
+        data = self._boundary_unsharded(rng, batch_size=batch_size)
         if data is not None and self.mesh_spec is not None:
             from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 
@@ -361,7 +363,7 @@ class ConsistencyBased(Method):
             data = shard_tree_batches(data, self.mesh_spec)
         return data
 
-    def _boundary_unsharded(self, rng):
+    def _boundary_unsharded(self, rng, batch_size=None):
         inst = self.pde_instance
         tr = self.cfg.solver.train
         if inst.sample_mode != "online":
@@ -373,10 +375,10 @@ class ConsistencyBased(Method):
             # laws — each loss term is a separately unbiased expectation.
             return {
                 "initial": inst.distribution_initial.sample(
-                    tr.batch_size_init, rng_init
+                    batch_size or tr.batch_size_init, rng_init
                 ),
                 "terminal": inst.distribution_terminal.sample(
-                    tr.batch_size_terminal, rng_term
+                    batch_size or tr.batch_size_terminal, rng_term
                 ),
             }
         if (
@@ -384,9 +386,10 @@ class ConsistencyBased(Method):
             and hasattr(inst, "sample_boundary_only")
             and hasattr(inst, "sample_path_only")
         ):
+            n = batch_size or tr.batch_size_0T
             if self._tail_boost():
-                return inst.sample_boundary_only_weighted(rng_0T, tr.batch_size_0T)
-            initial, terminal = inst.sample_boundary_only(rng_0T, tr.batch_size_0T)
+                return inst.sample_boundary_only_weighted(rng_0T, n)
+            initial, terminal = inst.sample_boundary_only(rng_0T, n)
             return {"initial": initial, "terminal": terminal}
         return None
 

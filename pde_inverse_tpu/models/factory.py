@@ -30,6 +30,7 @@ def get_model(cfg: Config, pde_instance=None):
                 freq_scale=net.fourier_scale,
                 quadratic_head=net.quadratic_head,
                 trainable_frequencies=net.fourier_trainable,
+                freq_init=net.fourier_init,
             )
         if net.model != "mlp":
             raise ValueError(f"unknown neural_network.model {net.model!r}")

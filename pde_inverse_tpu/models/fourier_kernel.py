@@ -73,14 +73,40 @@ class FourierKernelModel(nn.Module):
     # (K=1024) at the same 7x200 probe geometry — adaptivity, not
     # capacity, is what buys accuracy in this class.
     trainable_frequencies: bool = False
+    # "normal": w_k ~ N(0, freq_scale^2) — every feature starts at ONE
+    # length scale, so the optimizer must transport frequency mass across
+    # scales itself.  "multiscale": per-feature stddev log-uniform in
+    # [freq_scale/4, 4*freq_scale] — the init already spans ~a decade and
+    # a half of length scales, giving the adaptive kernel low-frequency
+    # features for the far tail and high-frequency ones for the bulk from
+    # step 0 (round-4 lever for the FK shared-tail bias, VERDICT #2).
+    freq_init: str = "normal"
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        if self.freq_init == "multiscale":
+
+            def _ms_init(key, shape, dtype=jnp.float32):
+                k_s, k_w = jax.random.split(key)
+                scales = jnp.exp(
+                    jax.random.uniform(
+                        k_s,
+                        (shape[0], 1),
+                        minval=jnp.log(self.freq_scale / 4.0),
+                        maxval=jnp.log(self.freq_scale * 4.0),
+                    )
+                )
+                return scales * jax.random.normal(k_w, shape, dtype)
+
+            omega_init = _ms_init
+        elif self.freq_init == "normal":
+            omega_init = initializers.normal(stddev=self.freq_scale)
+        else:
+            raise ValueError(
+                f"unknown freq_init {self.freq_init!r} (normal|multiscale)"
+            )
         omega = self.param(
-            "omega",
-            initializers.normal(stddev=self.freq_scale),
-            (self.n_features, self.dim),
-            jnp.float32,
+            "omega", omega_init, (self.n_features, self.dim), jnp.float32
         )
         if not self.trainable_frequencies:
             omega = jax.lax.stop_gradient(omega)

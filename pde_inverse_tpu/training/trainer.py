@@ -143,13 +143,20 @@ class Trainer:
             metrics["params_norm"] = pytree_l2_norm(params)
             return (params, opt_state, ema_state, step_idx + 1), metrics
 
-        def chunk(carry, rngs, dataset, stream=None):
+        def chunk(carry, rngs, dataset, stream=None, boundary_res=None):
             """stream: None (in-jit data policy) or a pytree of [K, ...]
             host-gathered per-step batches (streaming offline loader) fed
             through the scan as xs — the device holds one chunk of batches,
-            never the trajectory store."""
-            boundary = None
-            if stream is None and self.cfg.solver.train.boundary_per_chunk:
+            never the trajectory store.  boundary_res: a pre-sampled
+            device-resident boundary batch (solver.train.boundary_reservoir)
+            reused by every step of the chunk — passed as a jit ARGUMENT so
+            it is never baked into the program as a constant."""
+            boundary = boundary_res
+            if (
+                boundary is None
+                and stream is None
+                and self.cfg.solver.train.boundary_per_chunk
+            ):
                 # One boundary batch per fused chunk (the scan below reuses
                 # it every step; the per-step path batch stays fresh).  The
                 # boundary key derives from the chunk's rng INPUT, not a
@@ -245,6 +252,26 @@ class Trainer:
         carry = (params, opt_state, ema_state, jnp.asarray(start_step, jnp.int32))
         rngs = jax.random.split(self.rng, n_iters)
 
+        # Run-level boundary reservoir (solver.train.boundary_reservoir):
+        # one jitted draw before the loop (the terminal SDE simulation runs
+        # ONCE, not per step), optionally re-drawn every
+        # boundary_refresh_chunks chunks to bound the frozen-MC-noise
+        # window.  Resume-safe: the draw key folds in the chunk counter,
+        # which restarts with start_step — a resumed run re-draws the same
+        # reservoirs at the same boundaries.
+        res_size = cfg.solver.train.boundary_reservoir
+        refresh_chunks = cfg.solver.train.boundary_refresh_chunks
+        boundary_res, draw_res, chunk_counter = None, None, 0
+        if (
+            res_size > 0
+            and getattr(self.method, "sample_boundary", None) is not None
+            and getattr(self.method.pde_instance, "sample_mode", "") == "online"
+        ):
+            draw_res = jax.jit(
+                lambda key: self.method.sample_boundary(key, res_size)
+            )
+            boundary_res = draw_res(jax.random.fold_in(self.rng, 40321))
+
         step = start_step
         t_start = time.perf_counter()
         # steps/s is measured from the end of the first chunk so the jit
@@ -267,7 +294,19 @@ class Trainer:
             )  # second chunk: compiled, steady-state
             if profile_now:
                 jax.profiler.start_trace(cfg.backend.profile_dir)
-            carry, metrics = chunk_fn(carry, chunk_rngs, dataset, stream_batches)
+            if (
+                boundary_res is not None
+                and refresh_chunks > 0
+                and chunk_counter > 0
+                and chunk_counter % refresh_chunks == 0
+            ):
+                boundary_res = draw_res(
+                    jax.random.fold_in(self.rng, 40321 + chunk_counter)
+                )
+            chunk_counter += 1
+            carry, metrics = chunk_fn(
+                carry, chunk_rngs, dataset, stream_batches, boundary_res
+            )
             if profile_now:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

@@ -72,6 +72,7 @@ def main(ckpt_dirs: str, overrides):
     preset_name = "KMV-nonparametric-fourier"
     use_ema_state = "--ema" in overrides
     probe_seed, weights, sweep = 123, None, "--sweep" in overrides
+    fit_weights, weights_raw = "--fit-weights" in overrides, False
     rest = []
     for o in overrides:
         if o.startswith("preset="):
@@ -82,7 +83,13 @@ def main(ckpt_dirs: str, overrides):
             probe_seed = int(o.split("=", 1)[1])
         elif o.startswith("--weights="):
             weights = [float(w) for w in o.split("=", 1)[1].split(",")]
-        elif o not in ("--ema", "--sweep"):
+        elif o.startswith("--weights-raw="):
+            # verbatim stacking weights (e.g. from a --fit-weights run):
+            # no normalization, negatives allowed — the LS solution
+            # already absorbs the global scale
+            weights = [float(w) for w in o.split("=", 1)[1].split(",")]
+            weights_raw = True
+        elif o not in ("--ema", "--sweep", "--fit-weights"):
             rest.append(o)
     dirs = [d for d in ckpt_dirs.split(",") if d]
     members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
@@ -155,11 +162,15 @@ def main(ckpt_dirs: str, overrides):
             f"--sweep needs exactly 2 members, got {len(members)}"
         )
     w = np.asarray(weights if weights is not None else [1.0] * len(members))
-    # A zero sum would normalize to NaN and a negative sum silently flips
-    # every weight's sign — reject both up front.
-    if (w <= 0).any() or not np.isfinite(w.sum()) or w.sum() <= 0:
-        raise SystemExit(f"--weights must be positive (got {w.tolist()})")
-    w = w / w.sum()
+    if weights_raw:
+        if not np.isfinite(w).all():
+            raise SystemExit(f"--weights-raw must be finite (got {w.tolist()})")
+    else:
+        # A zero sum would normalize to NaN and a negative sum silently
+        # flips every weight's sign — reject both up front.
+        if (w <= 0).any() or not np.isfinite(w.sum()) or w.sum() <= 0:
+            raise SystemExit(f"--weights must be positive (got {w.tolist()})")
+        w = w / w.sum()
 
     @jax.jit
     def fields(y):
@@ -173,6 +184,24 @@ def main(ckpt_dirs: str, overrides):
     # reporting numbers must never be mixed up post hoc).
     print(f"probe: PRNGKey({probe_seed}), {batch}x{n_times} diffs")
     member_preds, true = fields(diff)
+    if fit_weights and len(members) > 1:
+        # Least-squares stacking: w* = argmin ||sum_i w_i p_i - true||^2
+        # over the CURRENT probe (G w = r, G_ij = <p_i, p_j>).  Run with
+        # --probe-seed=<held-out> to select, then report with
+        # --weights-raw=<printed> on the default probe — the in-sample
+        # stacked number printed here is a selection diagnostic, not the
+        # headline.  Generalizes the 2-member --sweep alpha grid to N
+        # members with the global rescale absorbed.
+        P = np.stack([np.asarray(p).reshape(-1) for p in member_preds])
+        t_flat = np.asarray(true).reshape(-1)
+        G = P @ P.T
+        r = P @ t_flat
+        w = np.linalg.solve(G, r)
+        print(
+            "fitted stacking weights (LS on THIS probe; pass via "
+            f"--weights-raw on the reporting probe): "
+            f"{','.join(f'{x:.6f}' for x in w)}"
+        )
     pred = sum(wi * p for wi, p in zip(w, member_preds))
     num = jnp.sum((pred - true) ** 2, -1)
     den = jnp.mean(jnp.sum(true**2, -1))

@@ -112,8 +112,39 @@ def main(argv):
         rows.append((label, t))
         print(f"{label:26s}: {1e3 * t:8.2f} ms")
 
+    # Sampling decomposition (round 4): the 58.5 ms "sampling" share was
+    # measured as one block; split it so the boundary levers
+    # (boundary_reservoir / smaller terminal batches) target the right
+    # piece.  path = trajectory sim; initial = exact mixture draws (gather-
+    # heavy on TPU); terminal = full-horizon SDE sim of batch*30 particles.
+    sample_path = jax.jit(lambda k: method.sample_path(k))
+    sample_bdry = jax.jit(lambda k: method.sample_boundary(k))
+
+    tr = cfg.solver.train
+
+    def initial_only(k):
+        return inst.distribution_initial.sample(
+            tr.batch_size_0T * inst.multiple_init, k
+        )
+
+    def terminal_only(k):
+        initial, terminal = inst.sample_boundary_only(k, tr.batch_size_0T)
+        return terminal
+
+    # Full step with the boundary passed as an argument (what a
+    # boundary_reservoir run executes every step).
+    res = sample_bdry(key)
+    full_res = jax.jit(
+        lambda p, k, b: method.value_and_grad_fn(net.apply, p, k, boundary=b)
+    )
+
     add("full step (cfg fused)", full, params, key)
     add("sampling only", sample, key)
+    add("sampling: path only", sample_path, key)
+    add("sampling: boundary only", sample_bdry, key)
+    add("sampling: initial draws", jax.jit(initial_only), key)
+    add("sampling: terminal sim", jax.jit(terminal_only), key)
+    add("full step (boundary arg)", full_res, params, key, res)
     add("loss+grad fused=cfg", loss_only(cfg.solver.train.kfp_fused), params, data, key)
     add("loss+grad fused=off", loss_only("off"), params, data, key)
     add("provider fwd fused", jax.jit(provider_fused), params)

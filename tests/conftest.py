@@ -41,3 +41,40 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+# --- smoke / full tiers ------------------------------------------------------
+# The full suite is ~30 min on the 1-core TPU-VM host (round-3 VERDICT #6),
+# which erodes keep-green discipline.  tests/slow_tests.txt lists every test
+# measured >= 6 s (regenerate from a `pytest --durations=0` log:
+#   grep -E "^[0-9.]+s call" LOG | awk '{gsub("s","",$1); if ($1+0>=6) print $3}' | sort
+# ); they get a `slow` marker here, so
+#   pytest -m "not slow"   — smoke tier, ~5 min
+#   pytest                 — full tier, unchanged
+# Tests not in the list (including new ones) default to the smoke tier —
+# additions are smoke until a durations run says otherwise.
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: measured >= 6 s on the 1-core host (tests/slow_tests.txt)"
+    )
+
+
+def _slow_ids():
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {line.strip() for line in f if line.strip()}
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    mark = pytest.mark.slow
+    for item in items:
+        # nodeid is tests/<file>::<class>::<test>; the list stores the same
+        if item.nodeid in slow:
+            item.add_marker(mark)

@@ -288,3 +288,37 @@ class TestFourierMeanfield:
             if gap0 is None:
                 gap0 = float(gap)
         assert float(gap) < 0.5 * gap0, (gap0, float(gap))
+
+
+class TestMultiscaleInit:
+    def test_multiscale_spans_scales(self, rng):
+        """freq_init=multiscale draws per-feature stddevs log-uniform in
+        [scale/4, 4*scale]: the frequency-row norms must span roughly that
+        range, where the normal init concentrates at one scale."""
+        def row_norms(init):
+            m = FourierKernelModel(
+                dim=2, n_features=256, freq_scale=0.5, quadratic_head=False,
+                freq_init=init,
+            )
+            p = m.init(rng, jnp.zeros((1, 2)))
+            return np.linalg.norm(np.asarray(p["params"]["omega"]), axis=-1)
+
+        ms, normal = row_norms("multiscale"), row_norms("normal")
+        q = lambda a: np.quantile(a, [0.1, 0.9])
+        lo_m, hi_m = q(ms)
+        lo_n, hi_n = q(normal)
+        assert hi_m / lo_m > 2.5 * (hi_n / lo_n), (hi_m / lo_m, hi_n / lo_n)
+        # and the collapse path still trains through it
+        cfg = _cfg("neural_network.fourier_init=multiscale")
+        from pde_inverse_tpu.methods import ConsistencyBased
+
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        out = method.value_and_grad_fn(net.apply, params, rng)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_unknown_init_rejected(self, rng):
+        m = FourierKernelModel(dim=2, n_features=8, freq_init="typo")
+        with pytest.raises(ValueError, match="freq_init"):
+            m.init(rng, jnp.zeros((1, 2)))

@@ -352,3 +352,56 @@ class TestChunkClamp:
             jax.tree_util.tree_leaves(p_native),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBoundaryReservoir:
+    """Run-level boundary reservoir (solver.train.boundary_reservoir): the
+    boundary batches are drawn once (or per refresh cadence) outside the
+    compiled scan and fed to every step as a jit argument — the per-step
+    terminal SDE simulation (ROOFLINE §3's dominant sampling cost)
+    disappears from the step."""
+
+    def test_sample_boundary_size_override(self, rng):
+        cfg = _cfg()
+        _, trainer = _build(cfg, rng)
+        b = trainer.method.sample_boundary(rng, 64)
+        assert b["initial"].shape[0] == 64
+        assert b["terminal"].shape[0] == 64
+
+    def test_sde_family_reservoir_shapes(self, rng):
+        from pde_inverse_tpu.problems import KineticFokkerPlanckGMM
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-Fokker-Planck",
+                "pde_instance.potential=GMM",
+                "pde_instance.domain_dim=2",
+                "pde_instance.n_steps=10",
+                "solver.train.batch_size_0T=16",
+            ],
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        method.create_model_fn()
+        b = method.sample_boundary(rng, 8)
+        # the instance's init/terminal multiples apply on top of the base
+        assert b["initial"].shape[0] == 8 * inst.multiple_init
+        assert b["terminal"].shape[0] == 8 * inst.multiple_terminal
+
+    def test_reservoir_recovery(self, rng):
+        """Training with a refreshed reservoir must pass the same tiny
+        recovery gate as the per-step boundary policy."""
+        cfg = _cfg(
+            extra=(
+                "solver.train.boundary_reservoir=256",
+                "solver.train.boundary_refresh_chunks=2",
+            )
+        )
+        inst, trainer = _build(cfg, rng)
+        init_err = float(
+            inst.recovered_parameter_rel_l2(jax.device_get(trainer.params))
+        )
+        params = trainer.fit()
+        final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
+        assert final_err < 0.5 * init_err, (init_err, final_err)
