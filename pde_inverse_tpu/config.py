@@ -135,6 +135,13 @@ class SolverTrainConfig:
     # kernels (no Fourier front end), "on" forces it (interpret mode off
     # TPU), "off" keeps the pure-XLA blockwise formulation.
     kmv_pallas: str = "auto"
+    # Pairwise-kernel tile shape (point-block x ref-block = pair rows per
+    # grid cell).  (128, 8) was sized for the 16 MB default scoped-VMEM
+    # budget; with the 100 MB override larger tiles amortize weight loads,
+    # grid overhead, and accumulator revisits (round-4 VERDICT #4b tuning
+    # surface).  block_i must be a multiple of 128, block_j of 8.
+    kmv_pallas_block_i: int = 128
+    kmv_pallas_block_j: int = 8
     # Field-space Tikhonov stabilizer for non-parametric KMV: adds
     # lambda * mean ||grad Phi(y)||^2 over a fixed strided probe set of
     # pairwise sample differences y = x_i - x_j to the weak-form loss.

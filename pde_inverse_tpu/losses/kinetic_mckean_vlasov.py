@@ -302,6 +302,7 @@ def make_loss_fn(
     blockwise_module=None,
     blockwise_rows: int = 0,
     pallas_mode: str = "auto",
+    pallas_blocks=(128, 8),
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
@@ -475,7 +476,11 @@ def make_loss_fn(
             # generic chunked path below.
             from pde_inverse_tpu.losses import pairwise_blockwise as bw
 
-            kwargs = {"mesh_spec": mesh_spec, "pallas_mode": pallas_mode}
+            kwargs = {
+                "mesh_spec": mesh_spec,
+                "pallas_mode": pallas_mode,
+                "pallas_blocks": pallas_blocks,
+            }
             if blockwise_rows > 0:
                 kwargs["rows_per_chunk"] = blockwise_rows
             return bw.mlp_pairwise_stats(
@@ -548,6 +553,7 @@ def value_and_grad_fn(
     blockwise_module=None,
     blockwise_rows: int = 0,
     pallas_mode: str = "auto",
+    pallas_blocks=(128, 8),
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
@@ -563,6 +569,7 @@ def value_and_grad_fn(
         blockwise_module=blockwise_module,
         blockwise_rows=blockwise_rows,
         pallas_mode=pallas_mode,
+        pallas_blocks=pallas_blocks,
         field_reg=field_reg,
         field_reg_probes=field_reg_probes,
         field_reg_fourier_only=field_reg_fourier_only,

@@ -244,6 +244,7 @@ def mlp_pairwise_stats(
     rows_per_chunk: int = _ROWS_PER_CHUNK,
     mesh_spec=None,
     pallas_mode: str = "auto",
+    pallas_blocks: Tuple[int, int] = (128, 8),
 ):
     """Per-stamp mean over refs of {Phi, grad Phi, v^T Hess Phi v} at
     y = x_{i,t} - r_{j,t}.
@@ -347,6 +348,8 @@ def mlp_pairwise_stats(
             ar.astype(dtype),
             valid_l,
             compute_dtype=dtype,
+            block_i=pallas_blocks[0],
+            block_j=pallas_blocks[1],
         )
         return {
             "value": sums["value"].T,
@@ -380,6 +383,8 @@ def mlp_pairwise_stats(
             g["hess"].T,
             jnp.swapaxes(g["s_dz0"], 0, 1),
             compute_dtype=dtype,
+            block_i=pallas_blocks[0],
+            block_j=pallas_blocks[1],
         )
         dW0y = (
             jnp.einsum("ntd,tnw->dw", x_l, ax_bar)

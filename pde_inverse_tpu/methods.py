@@ -263,6 +263,10 @@ class ConsistencyBased(Method):
                         self.cfg.solver.train.kmv_blockwise_rows
                     )
                     kwargs["pallas_mode"] = self.cfg.solver.train.kmv_pallas
+                    kwargs["pallas_blocks"] = (
+                        self.cfg.solver.train.kmv_pallas_block_i,
+                        self.cfg.solver.train.kmv_pallas_block_j,
+                    )
         return self._loss_module().value_and_grad_fn(
             forward_fn=forward_fn,
             params=params,

@@ -8,6 +8,10 @@ on the chip; exits 0 iff the grad step compiles, runs, and matches the jnp
 blockwise path.
 
 usage: python scripts/probe_pairwise_train_bwd.py [nt n m hidden layers feat]
+       python scripts/probe_pairwise_train_bwd.py --sweep-blocks [nt n m ...]
+           times jax.grad through the Pallas path for a grid of kernel
+           tile shapes (block_i x block_j) — the VERDICT #4b tuning
+           surface now that the scoped-VMEM budget is 100 MB.
 """
 
 import os
@@ -26,6 +30,8 @@ from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
 
 def main(argv):
+    sweep = "--sweep-blocks" in argv
+    argv = [a for a in argv if a != "--sweep-blocks"]
     nt, n, m, hidden, layers, feat = (
         [int(a) for a in argv] + [7, 2000, 2000, 20, 8, 128][len(argv):]
     )
@@ -38,11 +44,50 @@ def main(argv):
     v = jax.random.normal(k2, (n, nt, d))
     refs = jax.random.normal(k3, (m, nt, d))
 
-    def loss(p, mode):
-        s = bw.mlp_pairwise_stats(net, p, x, v, refs, pallas_mode=mode)
+    def loss(p, mode, blocks=(128, 8)):
+        s = bw.mlp_pairwise_stats(
+            net, p, x, v, refs, pallas_mode=mode, pallas_blocks=blocks
+        )
         return (
             jnp.mean(s["value"]) + jnp.mean(s["hess"]) + jnp.mean(s["nabla"] ** 2)
         )
+
+    if sweep:
+        ref = None
+        for blocks in [(128, 8), (128, 16), (128, 32), (256, 8), (256, 16),
+                       (384, 8), (512, 8), (256, 32)]:
+            g = jax.jit(jax.grad(lambda p: loss(p, "on", blocks)))
+            try:
+                t0 = time.perf_counter()
+                out = g(params)
+                jax.block_until_ready(out)
+                t_c = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    out = g(params)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / 5
+            except Exception as e:
+                print(f"blocks={blocks}: FAILED {type(e).__name__}: {str(e)[:120]}")
+                continue
+            if ref is None:
+                ref = jax.tree_util.tree_map(np.asarray, out)
+                note = "(reference)"
+            else:
+                w = max(
+                    float(np.max(np.abs(np.asarray(a) - b)))
+                    / max(float(np.max(np.abs(b))), 1e-30)
+                    for a, b in zip(
+                        jax.tree_util.tree_leaves(out),
+                        jax.tree_util.tree_leaves(ref),
+                    )
+                )
+                note = f"rel-vs-(128,8)={w:.2e}"
+            print(
+                f"blocks={blocks}: first={t_c:6.1f}s "
+                f"steady={dt * 1e3:8.1f} ms/grad {note}"
+            )
+        return 0
 
     def loss_chunked(p, rows):
         s = bw.mlp_pairwise_stats(

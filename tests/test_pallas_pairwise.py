@@ -242,3 +242,69 @@ class TestPairwiseKernel:
                 np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-4,
                 err_msg=k,
             )
+
+
+class TestBlockPlumbing:
+    def test_pallas_blocks_kwarg_reaches_both_kernels(self, monkeypatch):
+        """solver.train.kmv_pallas_block_{i,j} -> pallas_blocks must reach
+        the forward AND backward kernels, and a non-default tile must give
+        the same loss/grad (tile shape is a schedule, not semantics)."""
+        from pde_inverse_tpu.config import Config, apply_overrides
+        from pde_inverse_tpu.losses import kinetic_mckean_vlasov as kmv_loss
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        monkeypatch.setattr(pk, "_INTERPRET", True)
+        seen = {}
+        orig_fwd, orig_bwd = pk.mlp_pairwise_sums, pk.mlp_pairwise_sums_bwd
+
+        def spy_fwd(*a, **k):
+            seen["fwd"] = (k.get("block_i"), k.get("block_j"))
+            return orig_fwd(*a, **k)
+
+        def spy_bwd(*a, **k):
+            seen["bwd"] = (k.get("block_i"), k.get("block_j"))
+            return orig_bwd(*a, **k)
+
+        monkeypatch.setattr(pk, "mlp_pairwise_sums", spy_fwd)
+        monkeypatch.setattr(pk, "mlp_pairwise_sums_bwd", spy_bwd)
+
+        cfg = apply_overrides(
+            Config(),
+            [
+                "pde_instance.name=Kinetic-McKean-Vlasov",
+                "pde_instance.domain_dim=2",
+                "pde_instance.total_evolving_time=1",
+            ],
+        )
+        rng = jax.random.PRNGKey(11)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        net = PotentialMLP(
+            hidden_dims=[16, 16], feature_dim=8, quadratic_head=True
+        )
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(2))
+        n, nt = 12, 2
+        data = {
+            "0T": inst.sample_ground_truth(rng, (nt, n)),
+            "tau_0T": inst.get_time_sample_ground_truth(rng, (nt, n)),
+        }
+
+        def run(blocks):
+            return kmv_loss.value_and_grad_fn(
+                net.apply, params, data, rng, inst, blockwise_module=net,
+                pallas_mode="on", pallas_blocks=blocks,
+            )
+
+        out_default = run((128, 8))
+        assert seen["fwd"] == (128, 8) and seen["bwd"] == (128, 8)
+        out_big = run((256, 16))
+        assert seen["fwd"] == (256, 16) and seen["bwd"] == (256, 16)
+        np.testing.assert_allclose(
+            float(out_big["loss"]), float(out_default["loss"]), rtol=2e-4
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_big["grad"]),
+            jax.tree_util.tree_leaves(out_default["grad"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+            )
