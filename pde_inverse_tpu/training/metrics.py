@@ -29,6 +29,11 @@ class MetricWriter:
             self.log({key: float(np.asarray(stacked[key])[i]) for key in keys},
                      first_step + i)
 
+    def log_media(self, path: str, step: int) -> None:
+        """Log a rendered plot file (no-op for file writers, which already
+        live next to the plot directory; WandbWriter uploads it — parity
+        with the reference's wandb.Video plots, utils/plot_utils.py:46,77)."""
+
     def close(self) -> None:
         pass
 
@@ -82,6 +87,15 @@ class WandbWriter(MetricWriter):
 
     def log(self, metrics, step):
         self._wandb.log(metrics, step=step)
+
+    def log_media(self, path, step):
+        key = os.path.splitext(os.path.basename(path))[0]
+        media = (
+            self._wandb.Video(path)
+            if path.endswith((".gif", ".mp4"))
+            else self._wandb.Image(path)
+        )
+        self._wandb.log({key: media}, step=step)
 
     def close(self):
         self._wandb.finish()

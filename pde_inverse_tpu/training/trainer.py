@@ -358,12 +358,14 @@ class Trainer:
                 and cadence_fires(prev_step, step, cfg.plot.frequency)
             ):
                 try:
-                    self.method.plot_fn(
+                    out = self.method.plot_fn(
                         self.forward_fn,
                         jax.device_get(eval_params(carry, step)),
                         jax.random.fold_in(self.rng, step + 1),
                         out_path=os.path.join(self.plot_dir, f"field_{step:06d}.png"),
                     )
+                    if out:
+                        self.writer.log_media(out, step)
                 except Exception as e:  # plotting must never kill training
                     print(f"[trainer] plot at step {step} failed: {e}")
 

@@ -405,3 +405,29 @@ class TestBoundaryReservoir:
         params = trainer.fit()
         final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
         assert final_err < 0.5 * init_err, (init_err, final_err)
+
+
+class TestPlotMedia:
+    def test_plot_fires_and_logs_media(self, rng, tmp_path):
+        """plot.enable routes the rendered file to writer.log_media
+        (wandb media parity, reference utils/plot_utils.py:46,77 —
+        file writers no-op, WandbWriter uploads)."""
+        media = []
+
+        class SpyWriter(JsonlWriter):
+            def log_media(self, path, step):
+                media.append((path, step))
+
+        cfg = _cfg(
+            n_iters=20,
+            chunk=10,
+            extra=("plot.enable=True", "plot.frequency=10"),
+        )
+        writer = SpyWriter(str(tmp_path))
+        inst, trainer = _build(cfg, rng, writer=writer)
+        trainer.plot_dir = str(tmp_path / "plots")
+        trainer.fit()
+        writer.close()
+        assert media, "plot cadence never logged media"
+        for path, step in media:
+            assert os.path.exists(path), path
