@@ -94,7 +94,9 @@ def _program_flops(jitted, *args) -> float:
     return _program_cost(jitted, *args)["flops"]
 
 
-def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
+def bench_ours(
+    method, net, params, opt, n_steps=200, chunk=50, windows=1, boundary=None
+):
     """Fused scan-chunk trainer: (steps/sec, FLOPs per step[, per-window
     rates]).
 
@@ -104,23 +106,28 @@ def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
     single window makes the headline ratio look noisier than the chip is
     (round-2 VERDICT weak #7)."""
 
-    def one_step(carry, rng):
+    def one_step(carry, rng, boundary=None):
         params, opt_state = carry
-        out = method.value_and_grad_fn(net.apply, params, rng)
+        kwargs = {} if boundary is None else {"boundary": boundary}
+        out = method.value_and_grad_fn(net.apply, params, rng, **kwargs)
         updates, opt_state = opt.update(out["grad"], opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), out["loss"]
 
     @jax.jit
-    def run_chunk(carry, rngs):
-        return jax.lax.scan(one_step, carry, rngs)
+    def run_chunk(carry, rngs, boundary=None):
+        # boundary (solver.train.boundary_reservoir): pre-sampled boundary
+        # batch as a jit ARGUMENT, reused by every step — mirrors
+        # training/trainer.py's reservoir plumbing
+        step = lambda c, r: one_step(c, r, boundary)
+        return jax.lax.scan(step, carry, rngs)
 
     carry = (params, opt.init(params))
     rngs = jax.random.split(jax.random.PRNGKey(1), chunk)
-    cost = _program_cost(run_chunk, carry, rngs)
+    cost = _program_cost(run_chunk, carry, rngs, boundary)
     flops_per_step = cost["flops"] / chunk
     bench_ours.last_cost_per_step = {k: v / chunk for k, v in cost.items()}
-    carry, losses = run_chunk(carry, rngs)  # compile + warmup
+    carry, losses = run_chunk(carry, rngs, boundary)  # compile + warmup
     jax.block_until_ready(losses)
 
     rates = []
@@ -128,7 +135,7 @@ def bench_ours(method, net, params, opt, n_steps=200, chunk=50, windows=1):
         t0 = time.perf_counter()
         done = 0
         while done < n_steps:
-            carry, losses = run_chunk(carry, rngs)
+            carry, losses = run_chunk(carry, rngs, boundary)
             jax.block_until_ready(losses)
             assert np.isfinite(np.asarray(losses)).all()
             done += chunk
@@ -232,7 +239,9 @@ _PEAK_FLOPS_V5E_BF16 = 197e12
 _PEAK_HBM_BYTES_V5E = 819e9
 
 
-def bench_np_step(n_steps=60, chunk=20, windows=3, kfp_fused="auto"):
+def bench_np_step(
+    n_steps=60, chunk=20, windows=3, kfp_fused="auto", reservoir=False
+):
     """Compute-bound production row: the online KGMM NON-PARAMETRIC step at
     the Run-E recipe geometry (400-step BAOAB SDE sampling through the
     Pallas Langevin kernel + Fourier-MLP weak-form loss on a 10k-trajectory
@@ -260,8 +269,17 @@ def bench_np_step(n_steps=60, chunk=20, windows=3, kfp_fused="auto"):
     method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
     net, params = method.create_model_fn()
     opt = get_optimizer(cfg.train.optimizer)
+    # reservoir: the boundary batch pre-sampled once and fed per step as a
+    # jit argument (solver.train.boundary_reservoir) — the step then has
+    # no terminal SDE simulation in it
+    boundary = (
+        jax.jit(lambda k: method.sample_boundary(k))(jax.random.PRNGKey(40321))
+        if reservoir
+        else None
+    )
     rate, flops_per_step, rates = bench_ours(
-        method, net, params, opt, n_steps=n_steps, chunk=chunk, windows=windows
+        method, net, params, opt, n_steps=n_steps, chunk=chunk,
+        windows=windows, boundary=boundary,
     )
     mfu = (
         float(f"{flops_per_step * rate / _PEAK_FLOPS_V5E_BF16:.3g}")
@@ -397,17 +415,24 @@ def main():
         # (solver.train.kfp_fused=auto on TPU); if its first on-chip
         # exercise fails, fall back to the autodiff path so the row still
         # reports the production step.
+        # --np-reservoir: opt-in measurement of the boundary-reservoir
+        # step (VERDICT #3 lever) until a full Run-E validates accuracy,
+        # after which it becomes the production row's default.
+        np_res = "--np-reservoir" in sys.argv
         try:
-            np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step()
+            np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step(
+                reservoir=np_res
+            )
             fused_note = "auto"
         except Exception as e:
             np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step(
-                kfp_fused="off"
+                kfp_fused="off", reservoir=np_res
             )
             fused_note = f"off ({type(e).__name__} under auto)"
         result["np"] = {
             "metric": "KGMM non-parametric online step (Run-E geometry)",
             "kfp_fused": fused_note,
+            "boundary_reservoir": bool(np_res),
             "steps_per_sec": round(np_rate, 3),
             "steps_per_sec_windows": np_windows,
             "ms_per_step": round(1e3 / np_rate, 2),
