@@ -256,12 +256,13 @@ class Trainer:
         # one jitted draw before the loop (the terminal SDE simulation runs
         # ONCE, not per step), optionally re-drawn every
         # boundary_refresh_chunks chunks to bound the frozen-MC-noise
-        # window.  Resume-safe: the draw key folds in the chunk counter,
-        # which restarts with start_step — a resumed run re-draws the same
-        # reservoirs at the same boundaries.
+        # window.  Resume-safe: the chunk counter derives from the ABSOLUTE
+        # step, so a run resumed at a chunk boundary re-draws the same
+        # reservoir sequence (same fold_in keys) as the uninterrupted run.
         res_size = cfg.solver.train.boundary_reservoir
         refresh_chunks = cfg.solver.train.boundary_refresh_chunks
-        boundary_res, draw_res, chunk_counter = None, None, 0
+        boundary_res, draw_res = None, None
+        chunk_counter = start_step // max(k, 1)
         if (
             res_size > 0
             and getattr(self.method, "sample_boundary", None) is not None
@@ -270,7 +271,12 @@ class Trainer:
             draw_res = jax.jit(
                 lambda key: self.method.sample_boundary(key, res_size)
             )
-            boundary_res = draw_res(jax.random.fold_in(self.rng, 40321))
+            epoch = (
+                (chunk_counter // refresh_chunks) * refresh_chunks
+                if refresh_chunks > 0
+                else 0
+            )
+            boundary_res = draw_res(jax.random.fold_in(self.rng, 40321 + epoch))
 
         step = start_step
         t_start = time.perf_counter()
@@ -297,7 +303,7 @@ class Trainer:
             if (
                 boundary_res is not None
                 and refresh_chunks > 0
-                and chunk_counter > 0
+                and chunk_counter > start_step // max(k, 1)
                 and chunk_counter % refresh_chunks == 0
             ):
                 boundary_res = draw_res(

@@ -407,6 +407,40 @@ class TestBoundaryReservoir:
         assert final_err < 0.5 * init_err, (init_err, final_err)
 
 
+    def test_reservoir_resume_is_exact(self, rng, tmp_path):
+        """A run interrupted at a chunk boundary and resumed must re-draw
+        the SAME reservoir sequence (epoch-keyed fold_in) and produce
+        bitwise-identical params to the uninterrupted run."""
+        ckpt = str(tmp_path / "ck")
+        extra = (
+            "solver.train.boundary_reservoir=256",
+            "solver.train.boundary_refresh_chunks=2",
+            "save_and_load.save_model=True",
+            "save_and_load.save_frequency=10",
+            f"save_and_load.model_directory={ckpt}",
+        )
+        cfg_full = _cfg(n_iters=20, chunk=5, extra=extra)
+        _, tr_full = _build(cfg_full, rng)
+        p_full = jax.device_get(tr_full.fit())
+
+        # fresh run to step 10 only, then resume to 20
+        ckpt2 = str(tmp_path / "ck2")
+        extra2 = tuple(
+            o.replace(ckpt, ckpt2) for o in extra
+        ) + ("save_and_load.load_model=True",)
+        cfg_a = _cfg(n_iters=10, chunk=5, extra=extra2)
+        _, tr_a = _build(cfg_a, rng)
+        tr_a.fit()
+        cfg_b = _cfg(n_iters=20, chunk=5, extra=extra2)
+        _, tr_b = _build(cfg_b, rng)
+        p_resumed = jax.device_get(tr_b.fit())
+        assert tr_b.resumed_step == 10
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_full),
+            jax.tree_util.tree_leaves(p_resumed),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 class TestPlotMedia:
     def test_plot_fires_and_logs_media(self, rng, tmp_path):
         """plot.enable routes the rendered file to writer.log_media
