@@ -48,8 +48,16 @@ from pde_inverse_tpu.utils.cache import enable_compilation_cache
 def _load_checkpoint_params(ckpt_dir: str, use_ema_state: bool = False):
     import orbax.checkpoint as ocp
 
+    # "dir@step" loads a specific saved step (default: latest) — lets the
+    # oscillating iterates of one run be stacked as ensemble members
+    # (--fit-weights), a post-hoc Polyak-style average in field space.
+    step = None
+    if "@" in ckpt_dir:
+        ckpt_dir, step_s = ckpt_dir.rsplit("@", 1)
+        step = int(step_s)
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-    step = mgr.latest_step()
+    if step is None:
+        step = mgr.latest_step()
     restored = mgr.restore(step)
     # --ema: evaluate the decoupled Polyak average saved in ema_state
     # (trainer ema_mode=track) instead of the live iterate — mirrors
