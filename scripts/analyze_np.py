@@ -16,6 +16,14 @@ Ensembling (round 3): pass a comma-separated list of checkpoint dirs
 problem instance but carry independent estimator noise, so the AVERAGED
 gradient field (mean over members of grad V_k) is evaluated; same-seed
 error fields correlate ~0.5, predicting a ~30-40% error reduction.
+
+Iterate stacking (round 4, mirrors analyze_kmv.py): `dir@step` selects a
+specific saved step so the oscillating optimizer iterates of ONE run can
+be stacked as members; `--fit-weights` solves the least-squares stacking
+weights on the current probe (run with `--probe-seed=<held-out>` to
+select, then report with `--weights-raw=<printed>` on the default probe
+123 — never tune on the eval probe). On the KMV MLP cell this cut the
+probe error 64% with zero extra training (artifacts/r4A/mlp_iter6_*).
 """
 
 import os
@@ -37,8 +45,15 @@ from pde_inverse_tpu.utils.cache import enable_compilation_cache
 def _load_checkpoint_params(ckpt_dir: str, use_ema_state: bool):
     import orbax.checkpoint as ocp
 
+    # "dir@step" loads a specific saved step (default: latest) — lets the
+    # iterates of one run be stacked as ensemble members (--fit-weights).
+    step = None
+    if "@" in ckpt_dir:
+        ckpt_dir, step_s = ckpt_dir.rsplit("@", 1)
+        step = int(step_s)
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-    step = mgr.latest_step()
+    if step is None:
+        step = mgr.latest_step()
     # Template-free restore: the trainer checkpoints {params, opt_state,
     # ema_state}; we only need params (already EMA'd past the switch step),
     # and a strict template would have to mirror the optimizer pytree.
@@ -63,7 +78,24 @@ def _load_checkpoint_params(ckpt_dir: str, use_ema_state: bool):
 def main(ckpt_dirs: str, overrides):
     enable_compilation_cache()
     use_ema_state = "--ema" in overrides
-    overrides = [o for o in overrides if o != "--ema"]
+    probe_seed, weights, weights_raw = 123, None, False
+    fit_weights = "--fit-weights" in overrides
+    rest = []
+    for o in overrides:
+        if o.startswith("--probe-seed="):
+            # held-out weight selection: fit on one probe seed, report on
+            # the default (123) — never tune on the eval probe
+            probe_seed = int(o.split("=", 1)[1])
+        elif o.startswith("--weights-raw="):
+            # verbatim stacking weights (e.g. from a --fit-weights run):
+            # no normalization, negatives allowed (LS absorbs the scale)
+            weights = [float(w) for w in o.split("=", 1)[1].split(",")]
+            weights_raw = True
+        elif o.startswith("--weights="):
+            weights = [float(w) for w in o.split("=", 1)[1].split(",")]
+        elif o not in ("--ema", "--fit-weights"):
+            rest.append(o)
+    overrides = rest
     cfg = preset(
         "KGMM",
         [
@@ -88,33 +120,62 @@ def main(ckpt_dirs: str, overrides):
     if len(members) > 1:
         print(f"ensemble of {len(members)} members: averaged gradient field")
 
+    if weights is not None and len(weights) != len(members):
+        raise SystemExit("--weights length must match the member count")
+    w = np.asarray(weights if weights is not None else [1.0] * len(members))
+    if weights_raw:
+        if not np.isfinite(w).all():
+            raise SystemExit(f"--weights-raw must be finite (got {w.tolist()})")
+    else:
+        # A zero sum would normalize to NaN and a negative sum silently
+        # flips every weight's sign — reject both up front.
+        if (w <= 0).any() or not np.isfinite(w.sum()) or w.sum() <= 0:
+            raise SystemExit(f"--weights must be positive (got {w.tolist()})")
+        w = w / w.sum()
+
     V_true = inst.V_true_fn
 
     @jax.jit
     def fields(x):
-        """(ensemble-averaged predicted gradient, true gradient) at x —
+        """(per-member predicted gradients, true gradient) at x —
         computed once and reused by every metric below (the rescale block
         previously re-ran the 50k-point sweep unjitted, ADVICE round 2)."""
         preds = [
             ad.batched_grad(lambda xi: net.apply(p, xi)[0], x) for p in members
         ]
-        pred = sum(preds) / len(preds)
-        return pred, ad.batched_grad(V_true, x)
+        return preds, ad.batched_grad(V_true, x)
 
-    key = jax.random.PRNGKey(123)
+    # Self-describing header: a --probe-seed run must be distinguishable
+    # from a default-probe run in the log itself.
+    print(f"probe: PRNGKey({probe_seed}), 50000 initial-law pts")
+    key = jax.random.PRNGKey(probe_seed)
     k_init, k_path = jax.random.split(key)
 
     # (a) initial law
     z0 = inst.distribution_initial.sample(50_000, k_init)
     x0 = z0[:, : inst.dim]
-    pred0, true0 = fields(x0)
-    num0 = jnp.sum((pred0 - true0) ** 2, -1)
+    member_preds0, true0 = fields(x0)
     den0 = jnp.mean(jnp.sum(true0**2, -1))
+    if fit_weights and len(members) > 1:
+        # Least-squares stacking on the initial-law probe (the headline
+        # metric): w* = argmin ||sum_i w_i p_i - true||^2.  Fit with
+        # --probe-seed=<held-out>, report with --weights-raw=<printed>
+        # on the default probe — the in-sample number printed below is a
+        # selection diagnostic, not the headline.
+        P = np.stack([np.asarray(p).reshape(-1) for p in member_preds0])
+        t_flat = np.asarray(true0).reshape(-1)
+        w = np.linalg.solve(P @ P.T, P @ t_flat)
+        print(
+            "fitted stacking weights (LS on THIS probe; pass via "
+            f"--weights-raw on the reporting probe): "
+            f"{','.join(f'{x:.6f}' for x in w)}"
+        )
+    pred0 = sum(wi * p for wi, p in zip(w, member_preds0))
+    num0 = jnp.sum((pred0 - true0) ** 2, -1)
     if len(members) > 1:
-        for d, p in zip(dirs, members):
-            mp = jax.jit(
-                lambda x, p: ad.batched_grad(lambda xi: net.apply(p, xi)[0], x)
-            )(x0, p)
+        if weights is not None:
+            print(f"member weights: {np.round(w, 4).tolist()}")
+        for d, mp in zip(dirs, member_preds0):
             r = float(jnp.sqrt(jnp.mean(jnp.sum((mp - true0) ** 2, -1)) / den0))
             print(f"  member {d}: initial-law rel-L2 {r:.4e}")
     print(f"initial-law rel-L2: {float(jnp.sqrt(jnp.mean(num0) / den0)):.4e}")
@@ -132,7 +193,8 @@ def main(ckpt_dirs: str, overrides):
     # (b) path law (fresh simulation, 2000 trajectories)
     _, _, path = jax.jit(lambda k: inst.sample_ground_truth(k, 2000))(k_path)
     xp = path[:, : inst.dim]
-    predp, truep = fields(xp)
+    member_predsp, truep = fields(xp)
+    predp = sum(wi * p for wi, p in zip(w, member_predsp))
     nump = jnp.sum((predp - truep) ** 2, -1)
     denp = jnp.mean(jnp.sum(truep**2, -1))
     print(f"path-law    rel-L2: {float(jnp.sqrt(jnp.mean(nump) / denp)):.4e}")
