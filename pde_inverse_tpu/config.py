@@ -140,8 +140,12 @@ class SolverTrainConfig:
     # budget; with the 100 MB override larger tiles amortize weight loads,
     # grid overhead, and accumulator revisits (round-4 VERDICT #4b tuning
     # surface).  block_i must be a multiple of 128, block_j of 8.
+    # On-chip sweep at the 7x2000/w64 production geometry (r4A
+    # tile_sweep.log): (128,16) 725.9 ms/grad vs (128,8) 752.0 and
+    # (256,8) 729.9; every R>=3072 tile fails to compile (backend
+    # tpu_compile_helper crash), so (128,16) is the measured optimum.
     kmv_pallas_block_i: int = 128
-    kmv_pallas_block_j: int = 8
+    kmv_pallas_block_j: int = 16
     # Field-space Tikhonov stabilizer for non-parametric KMV: adds
     # lambda * mean ||grad Phi(y)||^2 over a fixed strided probe set of
     # pairwise sample differences y = x_i - x_j to the weak-form loss.

@@ -22,6 +22,11 @@ The first positional is one checkpoint dir or a comma-separated list
 `--weights=a,b` for a weighted average, `--sweep` prints the full alpha
 grid for a 2-member pair, `--probe-seed=N` draws an alternate probe so
 weights can be selected held-out and reported on the default probe).
+Member architectures are inferred PER MEMBER from each param tree, so
+mixed-class stacks (fourier-kernel production members + MLP run
+iterates via `dir@step`) are supported.  `--save-preds=f.npz` caches the
+member fields + truth for the probe; `--load-preds=f.npz` replays them so
+stacking experiments (ridge grids, weight sweeps) cost seconds.
 Remaining args are config overrides; `preset=NAME` selects the base
 preset (default KMV-nonparametric-fourier — the production FK recipe, so
 FK checkpoints need no overrides).  Reference analogue: none (the
@@ -81,10 +86,23 @@ def main(ckpt_dirs: str, overrides):
     use_ema_state = "--ema" in overrides
     probe_seed, weights, sweep = 123, None, "--sweep" in overrides
     fit_weights, weights_raw = "--fit-weights" in overrides, False
+    fit_ridge = 0.0
+    save_preds = load_preds = None
     rest = []
     for o in overrides:
         if o.startswith("preset="):
             preset_name = o.split("=", 1)[1]
+        elif o.startswith("--fit-ridge="):
+            # Tikhonov on the stacking Gram matrix, as a fraction of its
+            # mean diagonal: near-duplicate members (iterates of one run)
+            # make G ill-conditioned and the raw LS weights (~|w| 100+)
+            # transfer imperfectly across probes; a small ridge trades a
+            # little in-sample fit for held-out stability.
+            fit_ridge = float(o.split("=", 1)[1])
+        elif o.startswith("--save-preds="):
+            save_preds = o.split("=", 1)[1]
+        elif o.startswith("--load-preds="):
+            load_preds = o.split("=", 1)[1]
         elif o.startswith("--probe-seed="):
             # held-out weight selection: pick --weights on one probe seed,
             # report on the default (123) — never tune on the eval probe
@@ -99,77 +117,139 @@ def main(ckpt_dirs: str, overrides):
             weights_raw = True
         elif o not in ("--ema", "--sweep", "--fit-weights"):
             rest.append(o)
-    dirs = [d for d in ckpt_dirs.split(",") if d]
-    members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
 
-    # The module must match the checkpoint's hypothesis: flax.apply
-    # SILENTLY ignores parameter entries the module never reads, so
-    # rebuilding without the quadratic head while the checkpoint carries
-    # quad_A/quad_b evaluates the Fourier component alone (observed: a
-    # 0.06-trainer-metric quad-head member probing at 0.48).  Infer the
-    # whole hypothesis class + architecture from the parameter tree and
-    # append the matching overrides unless the caller set them explicitly.
-    p0 = members[0].get("params", members[0])
+    if load_preds is not None:
+        # Replay cached member fields: stacking experiments on a fixed
+        # probe cost seconds instead of 400k-point field evals per member.
+        data = np.load(load_preds)
+        dirs = [str(s) for s in data["dirs"]]
+        probe_seed = int(data["probe_seed"])
+        batch, n_times = int(data["batch"]), int(data["n_times"])
+        member_preds = [jnp.asarray(p) for p in data["P"]]
+        true = jnp.asarray(data["true"])
+        diff = jnp.asarray(data["diff"])
+        print(f"replayed {len(member_preds)} member fields from {load_preds}")
+        print(f"probe: PRNGKey({probe_seed}), {batch}x{n_times} diffs")
+    else:
+        dirs = [d for d in ckpt_dirs.split(",") if d]
+        members = [_load_checkpoint_params(d, use_ema_state) for d in dirs]
 
-    def infer_overrides(p):
-        out = []
-        if "quad_A" in p:
-            out.append("neural_network.quadratic_head=True")
-            # quad_A is [d, d]: recover the problem dimension (a d=4 ckpt
-            # analyzed with the preset's d=2 otherwise fails param reload)
-            out.append(f"pde_instance.domain_dim={p['quad_A'].shape[0]}")
-        if "omega" in p:  # fourier-kernel class (models/fourier_kernel.py)
-            out.append("neural_network.model=fourier-kernel")
-            out.append(f"neural_network.fourier_features={p['omega'].shape[0]}")
-            if "quad_A" not in p:  # omega is [K, d]
-                out.append(f"pde_instance.domain_dim={p['omega'].shape[1]}")
-        elif "Dense_0" in p:  # PotentialMLP stack (models/mlp.py)
-            n_dense = sum(1 for k in p if k.startswith("Dense_"))
-            hidden = p["Dense_0"]["kernel"].shape[1]
-            feat = p[f"Dense_{n_dense - 1}"]["kernel"].shape[1]
-            out.append("neural_network.model=mlp")
-            out.append(f"neural_network.layers={n_dense - 1}")
-            out.append(f"neural_network.hidden_dim={hidden}")
-            out.append(f"neural_network.feature_dim={feat}")
-            nf = p["fourier_B"].shape[1] if "fourier_B" in p else 0
-            out.append(f"neural_network.fourier_features={nf}")
-        return out
+        # The module must match the checkpoint's hypothesis: flax.apply
+        # SILENTLY ignores parameter entries the module never reads, so
+        # rebuilding without the quadratic head while the checkpoint
+        # carries quad_A/quad_b evaluates the Fourier component alone
+        # (observed: a 0.06-trainer-metric quad-head member probing at
+        # 0.48).  Infer the whole hypothesis class + architecture from
+        # each parameter tree and append the matching overrides unless the
+        # caller set them explicitly.
+        p0 = members[0].get("params", members[0])
 
-    for o in infer_overrides(p0):
-        key = o.split("=", 1)[0]
-        if not any(r.startswith(key + "=") for r in rest):
-            print(f"inferred from checkpoint: {o}")
-            rest.append(o)
-    cfg = preset(preset_name, rest)
+        def infer_overrides(p):
+            out = []
+            if "quad_A" in p:
+                out.append("neural_network.quadratic_head=True")
+                # quad_A is [d, d]: recover the problem dimension (a d=4
+                # ckpt analyzed with the preset's d=2 otherwise fails
+                # param reload)
+                out.append(f"pde_instance.domain_dim={p['quad_A'].shape[0]}")
+            if "omega" in p:  # fourier-kernel class (models/fourier_kernel.py)
+                out.append("neural_network.model=fourier-kernel")
+                out.append(
+                    f"neural_network.fourier_features={p['omega'].shape[0]}"
+                )
+                if "quad_A" not in p:  # omega is [K, d]
+                    out.append(f"pde_instance.domain_dim={p['omega'].shape[1]}")
+            elif "Dense_0" in p:  # PotentialMLP stack (models/mlp.py)
+                n_dense = sum(1 for k in p if k.startswith("Dense_"))
+                hidden = p["Dense_0"]["kernel"].shape[1]
+                feat = p[f"Dense_{n_dense - 1}"]["kernel"].shape[1]
+                out.append("neural_network.model=mlp")
+                out.append(f"neural_network.layers={n_dense - 1}")
+                out.append(f"neural_network.hidden_dim={hidden}")
+                out.append(f"neural_network.feature_dim={feat}")
+                nf = p["fourier_B"].shape[1] if "fourier_B" in p else 0
+                out.append(f"neural_network.fourier_features={nf}")
+            return out
 
-    rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
-    inst = KineticMcKeanVlasovQuadratic(cfg, rng_problem)
-    method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng_problem)
-    net, _ = method.create_model_fn()
-    if len(members) > 1:
-        print(f"ensemble of {len(members)} members: averaged gradient field")
+        def member_config(p, announce=False):
+            ov = list(rest)
+            for o in infer_overrides(p):
+                key = o.split("=", 1)[0]
+                if not any(r.startswith(key + "=") for r in ov):
+                    if announce:
+                        print(f"inferred from checkpoint: {o}")
+                    ov.append(o)
+            return preset(preset_name, ov)
 
-    # Probe: same argument distribution as the headline test_fn (pairwise
-    # differences of exact path samples across the horizon), independent
-    # key, larger batch.
-    batch, n_times = 50_000, 8
-    rng_t, rng_z, rng_perm = jax.random.split(jax.random.PRNGKey(probe_seed), 3)
-    ts = inst.distribution_time.sample(n_times, rng_t)
-    means, covs = inst.oracle.moments_grid(ts)
-    chols = jnp.linalg.cholesky(covs)
-    eps = jax.random.normal(rng_z, (batch, n_times, means.shape[-1]))
-    z = jnp.einsum("tij,ntj->nti", chols, eps) + means
-    x = z[..., : inst.dim].reshape(-1, inst.dim)
-    partner = jax.random.permutation(rng_perm, x.shape[0])
-    diff = x - x[partner]
+        cfg = member_config(p0, announce=True)
 
-    if weights is not None and len(weights) != len(members):
-        raise SystemExit("--weights length must match the member count")
-    if sweep and len(members) != 2:
-        raise SystemExit(
-            f"--sweep needs exactly 2 members, got {len(members)}"
+        rng_problem = jax.random.split(jax.random.PRNGKey(cfg.seed), 4)[0]
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng_problem)
+        # One module PER member: mixed-class stacks (e.g. fourier-kernel
+        # production members + MLP run iterates) are the round-4
+        # bias-diversity lever, and flax.apply would silently ignore
+        # params a mismatched module never reads (the quad-head pitfall
+        # above, generalized).
+        nets = []
+        for mem in members:
+            cfg_k = member_config(mem.get("params", mem))
+            method_k = ConsistencyBased(
+                pde_instance=inst, cfg=cfg_k, rng=rng_problem
+            )
+            net_k, _ = method_k.create_model_fn()
+            nets.append(net_k)
+        if len(members) > 1:
+            print(f"ensemble of {len(members)} members: averaged gradient field")
+
+        # Probe: same argument distribution as the headline test_fn
+        # (pairwise differences of exact path samples across the horizon),
+        # independent key, larger batch.
+        batch, n_times = 50_000, 8
+        rng_t, rng_z, rng_perm = jax.random.split(
+            jax.random.PRNGKey(probe_seed), 3
         )
-    w = np.asarray(weights if weights is not None else [1.0] * len(members))
+        ts = inst.distribution_time.sample(n_times, rng_t)
+        means, covs = inst.oracle.moments_grid(ts)
+        chols = jnp.linalg.cholesky(covs)
+        eps = jax.random.normal(rng_z, (batch, n_times, means.shape[-1]))
+        z = jnp.einsum("tij,ntj->nti", chols, eps) + means
+        x = z[..., : inst.dim].reshape(-1, inst.dim)
+        partner = jax.random.permutation(rng_perm, x.shape[0])
+        diff = x - x[partner]
+
+        @jax.jit
+        def fields(y):
+            preds = [
+                ad.batched_grad(lambda yi, n=n, p=p: n.apply(p, yi)[0], y)
+                for n, p in zip(nets, members)
+            ]
+            return preds, ad.batched_grad(inst.Phi_true_fn, y)
+
+        # Self-describing header: a --probe-seed run must be
+        # distinguishable from a default-probe run in the log itself
+        # (held-out selection vs reporting numbers must never be mixed up
+        # post hoc).
+        print(f"probe: PRNGKey({probe_seed}), {batch}x{n_times} diffs")
+        member_preds, true = fields(diff)
+        if save_preds is not None:
+            np.savez(
+                save_preds,
+                dirs=np.array(dirs),
+                probe_seed=probe_seed,
+                batch=batch,
+                n_times=n_times,
+                P=np.stack([np.asarray(p) for p in member_preds]),
+                true=np.asarray(true),
+                diff=np.asarray(diff),
+            )
+            print(f"saved member fields to {save_preds}")
+
+    n_members = len(member_preds)
+    if weights is not None and len(weights) != n_members:
+        raise SystemExit("--weights length must match the member count")
+    if sweep and n_members != 2:
+        raise SystemExit(f"--sweep needs exactly 2 members, got {n_members}")
+    w = np.asarray(weights if weights is not None else [1.0] * n_members)
     if weights_raw:
         if not np.isfinite(w).all():
             raise SystemExit(f"--weights-raw must be finite (got {w.tolist()})")
@@ -180,19 +260,7 @@ def main(ckpt_dirs: str, overrides):
             raise SystemExit(f"--weights must be positive (got {w.tolist()})")
         w = w / w.sum()
 
-    @jax.jit
-    def fields(y):
-        preds = [
-            ad.batched_grad(lambda yi: net.apply(p, yi)[0], y) for p in members
-        ]
-        return preds, ad.batched_grad(inst.Phi_true_fn, y)
-
-    # Self-describing header: a --probe-seed run must be distinguishable
-    # from a default-probe run in the log itself (held-out selection vs
-    # reporting numbers must never be mixed up post hoc).
-    print(f"probe: PRNGKey({probe_seed}), {batch}x{n_times} diffs")
-    member_preds, true = fields(diff)
-    if fit_weights and len(members) > 1:
+    if fit_weights and n_members > 1:
         # Least-squares stacking: w* = argmin ||sum_i w_i p_i - true||^2
         # over the CURRENT probe (G w = r, G_ij = <p_i, p_j>).  Run with
         # --probe-seed=<held-out> to select, then report with
@@ -204,6 +272,9 @@ def main(ckpt_dirs: str, overrides):
         t_flat = np.asarray(true).reshape(-1)
         G = P @ P.T
         r = P @ t_flat
+        if fit_ridge > 0.0:
+            G = G + fit_ridge * np.mean(np.diag(G)) * np.eye(G.shape[0])
+            print(f"ridge: {fit_ridge} x mean-diag added to the Gram matrix")
         w = np.linalg.solve(G, r)
         print(
             "fitted stacking weights (LS on THIS probe; pass via "
@@ -213,13 +284,13 @@ def main(ckpt_dirs: str, overrides):
     pred = sum(wi * p for wi, p in zip(w, member_preds))
     num = jnp.sum((pred - true) ** 2, -1)
     den = jnp.mean(jnp.sum(true**2, -1))
-    if len(members) > 1:
+    if n_members > 1:
         if weights is not None:
             print(f"member weights: {np.round(w, 4).tolist()}")
         for d, p in zip(dirs, member_preds):
             r = float(jnp.sqrt(jnp.mean(jnp.sum((p - true) ** 2, -1)) / den))
             print(f"  member {d}: interaction-gradient rel-L2 {r:.4e}")
-    if sweep and len(members) == 2:
+    if sweep and n_members == 2:
         # alpha grid over the 2-member convex combination, overall and
         # farthest-1% tail per alpha — the member fields are already in
         # hand, so the sweep is free numpy. Run with --probe-seed=N to

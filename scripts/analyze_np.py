@@ -80,9 +80,15 @@ def main(ckpt_dirs: str, overrides):
     use_ema_state = "--ema" in overrides
     probe_seed, weights, weights_raw = 123, None, False
     fit_weights = "--fit-weights" in overrides
+    fit_ridge = 0.0
     rest = []
     for o in overrides:
-        if o.startswith("--probe-seed="):
+        if o.startswith("--fit-ridge="):
+            # Tikhonov on the stacking Gram matrix (fraction of its mean
+            # diagonal) — near-duplicate iterate members make the raw LS
+            # weights transfer imperfectly across probes (analyze_kmv.py)
+            fit_ridge = float(o.split("=", 1)[1])
+        elif o.startswith("--probe-seed="):
             # held-out weight selection: fit on one probe seed, report on
             # the default (123) — never tune on the eval probe
             probe_seed = int(o.split("=", 1)[1])
@@ -164,7 +170,11 @@ def main(ckpt_dirs: str, overrides):
         # selection diagnostic, not the headline.
         P = np.stack([np.asarray(p).reshape(-1) for p in member_preds0])
         t_flat = np.asarray(true0).reshape(-1)
-        w = np.linalg.solve(P @ P.T, P @ t_flat)
+        G = P @ P.T
+        if fit_ridge > 0.0:
+            G = G + fit_ridge * np.mean(np.diag(G)) * np.eye(G.shape[0])
+            print(f"ridge: {fit_ridge} x mean-diag added to the Gram matrix")
+        w = np.linalg.solve(G, P @ t_flat)
         print(
             "fitted stacking weights (LS on THIS probe; pass via "
             f"--weights-raw on the reporting probe): "
