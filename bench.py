@@ -415,10 +415,12 @@ def main():
         # (solver.train.kfp_fused=auto on TPU); if its first on-chip
         # exercise fails, fall back to the autodiff path so the row still
         # reports the production step.
-        # --np-reservoir: opt-in measurement of the boundary-reservoir
-        # step (VERDICT #3 lever) until a full Run-E validates accuracy,
-        # after which it becomes the production row's default.
-        np_res = "--np-reservoir" in sys.argv
+        # Boundary reservoir is the production default (VERDICT #3 lever):
+        # the 800-step on-chip A/B (artifacts/r4A/np_res_{off,on}.log)
+        # measured 5.73 vs 3.94 cumulative steps/s with recovery metrics
+        # comparable (initial 7.7e-2 vs 8.7e-2, terminal 9.3e-2 vs
+        # 8.0e-2); --np-no-reservoir measures the per-step-refresh step.
+        np_res = "--np-no-reservoir" not in sys.argv
         try:
             np_rate, np_windows, np_flops, np_mfu, np_cost = bench_np_step(
                 reservoir=np_res
