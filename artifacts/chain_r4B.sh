@@ -22,6 +22,14 @@ log "snapshot ready at $REPO ($(git -C /root/repo rev-parse --short HEAD))"
 while [ ! -f "$ROOT/r4A/done" ]; do sleep 60; done
 log "r4A done, chip free"
 
+# Warm the XLA cache for the driver's round-end bench: the reservoir np
+# row and the (128,16) pairwise tile default both changed the compiled
+# programs, and cold np/pairwise compiles take minutes on this backend.
+log "bench warm start"
+python bench.py > "$S/bench_warm.json" 2> "$S/bench_warm.log"
+log "bench warm rc=$?"
+cp -f "$S/bench_warm.json" "$ART/" 2>/dev/null
+
 ( while true; do
     cp -f "$S"/*.log "$ART/" 2>/dev/null
     for ck in "$ROOT"/r4B_*_ckpt; do
