@@ -175,6 +175,14 @@ class SolverTrainConfig:
     # Tikhonov-shrinks the head toward zero on the probe cloud
     # (losses/fourier_meanfield.py::fourier_grad).
     kmv_field_reg_fourier_only: bool = False
+    # Class-generic analogue of fourier_only: penalize only the
+    # NON-PARAMETRIC correction's gradient, grad Phi - (A^T A y + b),
+    # for ANY quadratic-head hypothesis (MLP stacks included — autodiff
+    # minus the head's closed form, losses/kinetic_mckean_vlasov.py).
+    # This is the principled stabilizer for the unbounded-MLP KMV cell,
+    # where the full-field penalty diverged (round 3) and weight decay
+    # is a crude crutch.
+    kmv_field_reg_correction_only: bool = False
     # Tail-coverage lever: spread the probe radii log-uniformly from 1x up
     # to this factor times the data cloud (probe i scaled by
     # scale**(i/(P-1))).  The FK residual concentrates in the farthest-1%

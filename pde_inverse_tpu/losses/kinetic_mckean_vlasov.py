@@ -306,6 +306,7 @@ def make_loss_fn(
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
+    field_reg_correction_only: bool = False,
     field_reg_probe_scale: float = 1.0,
 ):
     x_0T, v_0T = jnp.split(data["0T"], 2, axis=-1)
@@ -532,6 +533,29 @@ def make_loss_fn(
             else:
                 Phi = lambda xi: forward_fn(params, xi)[0]
                 grad_probe = ad.batched_grad(Phi, probe_diffs)  # [P, d]
+                if field_reg_correction_only:
+                    # Semiparametric analogue of fourier_only for ANY
+                    # quad-head hypothesis (MLP or fourier-kernel): pin
+                    # only the non-parametric correction, leaving the
+                    # exact quadratic component unpenalized.  Both heads
+                    # are V += 1/2||A y||^2 + b.y (models/mlp.py,
+                    # models/fourier_kernel.py), so the excluded gradient
+                    # is (A^T A) y + b.
+                    p_tree = (
+                        params.get("params", params)
+                        if isinstance(params, dict)
+                        else params
+                    )
+                    if "quad_A" not in p_tree:
+                        raise ValueError(
+                            "kmv_field_reg_correction_only requires the "
+                            "quadratic head (neural_network.quadratic_head"
+                            "=True)"
+                        )
+                    AtA = p_tree["quad_A"].T @ p_tree["quad_A"]
+                    grad_probe = grad_probe - (
+                        probe_diffs @ AtA + p_tree["quad_b"]
+                    )
             loss = loss + field_reg * jnp.mean(
                 jnp.sum(grad_probe**2, axis=-1)
             )
@@ -557,6 +581,7 @@ def value_and_grad_fn(
     field_reg: float = 0.0,
     field_reg_probes: int = 4096,
     field_reg_fourier_only: bool = False,
+    field_reg_correction_only: bool = False,
     field_reg_probe_scale: float = 1.0,
 ):
     loss_fn = make_loss_fn(
@@ -573,6 +598,7 @@ def value_and_grad_fn(
         field_reg=field_reg,
         field_reg_probes=field_reg_probes,
         field_reg_fourier_only=field_reg_fourier_only,
+        field_reg_correction_only=field_reg_correction_only,
         field_reg_probe_scale=field_reg_probe_scale,
     )
     (loss, gap), grad = jax.value_and_grad(loss_fn, has_aux=True)(params)

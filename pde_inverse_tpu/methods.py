@@ -243,6 +243,8 @@ class ConsistencyBased(Method):
                 )
                 if self.cfg.solver.train.kmv_field_reg_fourier_only:
                     kwargs["field_reg_fourier_only"] = True
+                if self.cfg.solver.train.kmv_field_reg_correction_only:
+                    kwargs["field_reg_correction_only"] = True
                 if self.cfg.solver.train.kmv_field_reg_probe_scale > 1.0:
                     kwargs["field_reg_probe_scale"] = (
                         self.cfg.solver.train.kmv_field_reg_probe_scale

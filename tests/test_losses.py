@@ -277,6 +277,70 @@ class TestKMVLoss:
         )
         assert float(diff) > 1e-8
 
+    def test_field_reg_correction_only_excludes_quad_head(self, rng):
+        """Semiparametric field reg for the MLP+quad class: (a) with the
+        head's params at zero the correction-only penalty equals the
+        full-field penalty; (b) with a nonzero head the loss gap is
+        exactly lam * E[||g||^2 - ||g - g_quad||^2]; (c) without a quad
+        head the flag raises."""
+        from pde_inverse_tpu.models.mlp import PotentialMLP
+
+        inst, _, _, data = self._setup(rng)
+        lam, n_probe, d = 0.37, 32, 2
+        net = PotentialMLP(
+            hidden_dims=[8, 8], feature_dim=8, quadratic_head=True
+        )
+        params = net.init(jax.random.PRNGKey(3), jnp.zeros(d))
+        common = dict(
+            data=data, pde_instance=inst, field_reg=lam,
+            field_reg_probes=n_probe,
+        )
+        l_full = kmv_loss.make_loss_fn(net.apply, **common)
+        l_corr = kmv_loss.make_loss_fn(
+            net.apply, field_reg_correction_only=True, **common
+        )
+
+        # (a) zero head => identical penalties
+        p0 = dict(params["params"])
+        p0["quad_A"] = jnp.zeros((d, d))
+        p0["quad_b"] = jnp.zeros((d,))
+        params0 = {"params": p0}
+        np.testing.assert_allclose(
+            float(l_corr(params0)[0]), float(l_full(params0)[0]), rtol=1e-6
+        )
+
+        # (b) nonzero head: reconstruct the penalty gap from the
+        # documented strided probe pairs
+        ph = dict(params["params"])
+        ph["quad_A"] = 0.5 * jnp.eye(d) + 0.1
+        ph["quad_b"] = jnp.array([0.2, -0.1])
+        params_h = {"params": ph}
+        full, corr = float(l_full(params_h)[0]), float(l_corr(params_h)[0])
+        assert full != pytest.approx(corr)
+
+        nt = data["tau_0T"].shape[0]
+        x, _ = jnp.split(data["0T"], 2, -1)
+        xf = x.reshape(-1, nt, d).reshape(-1, d)
+        n_pts = xf.shape[0]
+        ii = jnp.arange(min(n_probe, n_pts)) % n_pts
+        off = (7919 * nt) % n_pts or nt % n_pts
+        probe = xf[ii] - xf[(ii + off) % n_pts]
+        g = jax.vmap(jax.grad(lambda xi: net.apply(params_h, xi)[0]))(probe)
+        gq = probe @ (ph["quad_A"].T @ ph["quad_A"]) + ph["quad_b"]
+        gap_want = lam * float(
+            jnp.mean(jnp.sum(g**2, -1) - jnp.sum((g - gq) ** 2, -1))
+        )
+        np.testing.assert_allclose(full - corr, gap_want, rtol=1e-4)
+
+        # (c) headless module => trace-time error
+        net_nh = PotentialMLP(hidden_dims=[8, 8], feature_dim=8)
+        params_nh = net_nh.init(jax.random.PRNGKey(3), jnp.zeros(d))
+        l_nh = kmv_loss.make_loss_fn(
+            net_nh.apply, field_reg_correction_only=True, **common
+        )
+        with pytest.raises(ValueError, match="quadratic head"):
+            l_nh(params_nh)
+
     def test_closed_form_quadratic_matches_pairwise(self, rng):
         """The O(n) sufficient-statistics fast path for exactly-quadratic
         kernels must reproduce the O(n^2) pairwise loss, gap, and params
