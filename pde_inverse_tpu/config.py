@@ -244,9 +244,10 @@ class NetworkConfig:
     """Hypothesis-network hyperparameters (reference ``neural_network/MLP.yaml``)."""
 
     # Non-parametric hypothesis family: "mlp" (PotentialMLP, reference
-    # parity) or "fourier-kernel" (random-Fourier-feature kernel whose KMV
+    # parity), "fourier-kernel" (random-Fourier-feature kernel whose KMV
     # mean-field expectations collapse to O((n+m)K) sufficient statistics
-    # — no pairwise grid; models/fourier_kernel.py).
+    # — no pairwise grid; models/fourier_kernel.py), or "bilinear-debug"
+    # (x.(Wx+c) sanity-check hypothesis, reference core/model.py:63-96).
     model: str = "mlp"
     hidden_dim: int = 20
     layers: int = 8

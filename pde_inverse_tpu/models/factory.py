@@ -32,6 +32,10 @@ def get_model(cfg: Config, pde_instance=None):
                 trainable_frequencies=net.fourier_trainable,
                 freq_init=net.fourier_init,
             )
+        if net.model == "bilinear-debug":
+            from pde_inverse_tpu.models.mlp import BilinearDebugPotential
+
+            return BilinearDebugPotential()
         if net.model != "mlp":
             raise ValueError(f"unknown neural_network.model {net.model!r}")
         if net.n_resblocks > 0:

@@ -97,6 +97,28 @@ class PotentialMLP(nn.Module):
         return value[None] if x.ndim == 1 else value
 
 
+class BilinearDebugPotential(nn.Module):
+    """Sanity-check hypothesis V(x) = x . (W x + c) — a single Dense map
+    contracted against the input.
+
+    Parity target: ``V_hypothesis_DEBUG``'s active branch (reference
+    core/model.py:63-96 returns ``sum(y * F(y))`` with ``F = nn.Dense(dim)``;
+    its commented-out MLP branches and fixed 4-dim ``V_true_fn`` wiring are
+    dead code and intentionally dropped).  For a symmetric part of W this is
+    an exact quadratic form, so on the OU/KMV-quadratic problems the debug
+    net can represent the truth exactly — useful for separating estimator
+    bias from hypothesis-class bias when debugging a loss.  Select with
+    ``neural_network.model=bilinear-debug``.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        Fx = nn.Dense(x.shape[-1], param_dtype=jnp.float32)(xf)
+        value = jnp.sum(xf * Fx, axis=-1)
+        return value[None] if x.ndim == 1 else value
+
+
 class ResNetPotential(nn.Module):
     """Residual-block variant (the reference declares a ResNet config but
     raises NotImplementedError, core/model.py:116-118 — implemented here)."""

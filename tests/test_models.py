@@ -107,6 +107,30 @@ class TestFactory:
         assert isinstance(net, ResNetPotential)
         assert net.n_blocks == 3
 
+    def test_bilinear_debug_dispatch_and_exact_quadratic(self):
+        """bilinear-debug (reference core/model.py:63-96) can represent an
+        exact quadratic form: with W set to Q and c=0, V(x) == x.Qx."""
+        from pde_inverse_tpu.models.mlp import BilinearDebugPotential
+
+        cfg = apply_overrides(
+            Config(),
+            ["estimation_mode=non-parametric", "neural_network.model=bilinear-debug"],
+        )
+        net = get_model(cfg)
+        assert isinstance(net, BilinearDebugPotential)
+        d, n = 3, 11
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+        params = net.init(jax.random.PRNGKey(1), x[0])
+        assert net.apply(params, x).shape == (n,)
+        assert net.apply(params, x[0]).shape == (1,)
+        Q = jnp.array([[2.0, 0.5, 0.0], [0.5, 1.0, 0.0], [0.0, 0.0, 3.0]])
+        params = jax.tree_util.tree_map(lambda _: None, params)  # guard reuse
+        params = {
+            "params": {"Dense_0": {"kernel": Q, "bias": jnp.zeros(d)}}
+        }
+        v = net.apply(params, x)
+        np.testing.assert_allclose(v, jnp.einsum("ni,ij,nj->n", x, Q, x), rtol=1e-6)
+
     def test_unknown_mode_raises(self):
         cfg = apply_overrides(Config(), ["estimation_mode=banana"])
         with pytest.raises(ValueError, match="estimation_mode"):
