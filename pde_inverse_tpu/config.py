@@ -217,6 +217,16 @@ class SolverTrainConfig:
     # outside the compiled scan; 0 = never).  Bounds how long the frozen
     # boundary-noise direction persists.
     boundary_refresh_chunks: int = 0
+    # Streaming rotation (round-4 follow-up to the npE36k full-horizon
+    # regression, ROOFLINE §3 "MECHANISM"): instead of re-drawing the
+    # WHOLE reservoir every boundary_refresh_chunks chunks, replace
+    # 1/boundary_refresh_chunks of it EVERY chunk (requires
+    # boundary_reservoir % boundary_refresh_chunks == 0).  Amortized
+    # host sim cost is identical, but the frozen-MC-noise decorrelation
+    # time drops by the same factor — the frozen perturbation SGD
+    # integrates into null-space drift becomes chunk-local.  Slice keys
+    # derive from the absolute chunk index, so resume is bitwise-exact.
+    boundary_rotate: bool = False
     # Fused per-point {grad V, v^T Hess V v} provider for the kinetic
     # Fokker-Planck weak-form loss (losses/fused_pointwise.py +
     # ops/pallas/pointwise_kernel.py): "auto" runs the VMEM-resident

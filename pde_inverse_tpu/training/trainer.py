@@ -261,22 +261,58 @@ class Trainer:
         # reservoir sequence (same fold_in keys) as the uninterrupted run.
         res_size = cfg.solver.train.boundary_reservoir
         refresh_chunks = cfg.solver.train.boundary_refresh_chunks
+        rotate = cfg.solver.train.boundary_rotate and refresh_chunks > 0
         boundary_res, draw_res = None, None
+        rot_slices, draw_slice, concat_slices = None, None, None
         chunk_counter = start_step // max(k, 1)
+        start_chunk = chunk_counter
         if (
             res_size > 0
             and getattr(self.method, "sample_boundary", None) is not None
             and getattr(self.method.pde_instance, "sample_mode", "") == "online"
         ):
-            draw_res = jax.jit(
-                lambda key: self.method.sample_boundary(key, res_size)
-            )
-            epoch = (
-                (chunk_counter // refresh_chunks) * refresh_chunks
-                if refresh_chunks > 0
-                else 0
-            )
-            boundary_res = draw_res(jax.random.fold_in(self.rng, 40321 + epoch))
+            if rotate:
+                # Streaming rotation (solver.train.boundary_rotate): the
+                # reservoir is refresh_chunks slot-ordered slices; slice
+                # drawn at absolute chunk d lives in slot d % N with key
+                # fold_in(rng, 50321 + d).  At chunk c the reservoir holds
+                # the slices of d in [c-N+1, c] — reconstructable from c
+                # alone, so resume at any chunk boundary is bitwise-exact.
+                if res_size % refresh_chunks:
+                    raise ValueError(
+                        "solver.train.boundary_rotate needs boundary_reservoir"
+                        f" ({res_size}) divisible by boundary_refresh_chunks"
+                        f" ({refresh_chunks})"
+                    )
+                slice_size = res_size // refresh_chunks
+                draw_slice = jax.jit(
+                    lambda key: self.method.sample_boundary(key, slice_size)
+                )
+                concat_slices = jax.jit(
+                    lambda parts: jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                    )
+                )
+                rot_slices = [None] * refresh_chunks
+                for d in range(
+                    chunk_counter - refresh_chunks + 1, chunk_counter + 1
+                ):
+                    rot_slices[d % refresh_chunks] = draw_slice(
+                        jax.random.fold_in(self.rng, 50321 + d)
+                    )
+                boundary_res = concat_slices(rot_slices)
+            else:
+                draw_res = jax.jit(
+                    lambda key: self.method.sample_boundary(key, res_size)
+                )
+                epoch = (
+                    (chunk_counter // refresh_chunks) * refresh_chunks
+                    if refresh_chunks > 0
+                    else 0
+                )
+                boundary_res = draw_res(
+                    jax.random.fold_in(self.rng, 40321 + epoch)
+                )
 
         step = start_step
         t_start = time.perf_counter()
@@ -303,12 +339,18 @@ class Trainer:
             if (
                 boundary_res is not None
                 and refresh_chunks > 0
-                and chunk_counter > start_step // max(k, 1)
-                and chunk_counter % refresh_chunks == 0
+                and chunk_counter > start_chunk
             ):
-                boundary_res = draw_res(
-                    jax.random.fold_in(self.rng, 40321 + chunk_counter)
-                )
+                if rotate:
+                    slot = chunk_counter % refresh_chunks
+                    rot_slices[slot] = draw_slice(
+                        jax.random.fold_in(self.rng, 50321 + chunk_counter)
+                    )
+                    boundary_res = concat_slices(rot_slices)
+                elif chunk_counter % refresh_chunks == 0:
+                    boundary_res = draw_res(
+                        jax.random.fold_in(self.rng, 40321 + chunk_counter)
+                    )
             chunk_counter += 1
             carry, metrics = chunk_fn(
                 carry, chunk_rngs, dataset, stream_batches, boundary_res

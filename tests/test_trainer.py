@@ -407,6 +407,71 @@ class TestBoundaryReservoir:
         assert final_err < 0.5 * init_err, (init_err, final_err)
 
 
+    def test_reservoir_rotation_recovery(self, rng):
+        """Streaming rotation (solver.train.boundary_rotate) must pass the
+        same tiny recovery gate — each slice is an iid draw of the same
+        boundary law, so only the noise correlation structure changes."""
+        cfg = _cfg(
+            extra=(
+                "solver.train.boundary_reservoir=256",
+                "solver.train.boundary_refresh_chunks=2",
+                "solver.train.boundary_rotate=True",
+            )
+        )
+        inst, trainer = _build(cfg, rng)
+        init_err = float(
+            inst.recovered_parameter_rel_l2(jax.device_get(trainer.params))
+        )
+        params = trainer.fit()
+        final_err = float(inst.recovered_parameter_rel_l2(jax.device_get(params)))
+        assert final_err < 0.5 * init_err, (init_err, final_err)
+
+    def test_reservoir_rotation_rejects_ragged_slices(self, rng):
+        cfg = _cfg(
+            extra=(
+                "solver.train.boundary_reservoir=255",
+                "solver.train.boundary_refresh_chunks=2",
+                "solver.train.boundary_rotate=True",
+            )
+        )
+        _, trainer = _build(cfg, rng)
+        with pytest.raises(ValueError, match="divisible"):
+            trainer.fit()
+
+    def test_reservoir_rotation_resume_is_exact(self, rng, tmp_path):
+        """Rotation slice keys derive from the ABSOLUTE chunk index, so a
+        resumed run reconstructs the identical slot contents (slices drawn
+        at chunks [c-N+1, c]) and stays bitwise-equal to the full run."""
+        ckpt = str(tmp_path / "ck")
+        extra = (
+            "solver.train.boundary_reservoir=256",
+            "solver.train.boundary_refresh_chunks=2",
+            "solver.train.boundary_rotate=True",
+            "save_and_load.save_model=True",
+            "save_and_load.save_frequency=10",
+            f"save_and_load.model_directory={ckpt}",
+        )
+        cfg_full = _cfg(n_iters=20, chunk=5, extra=extra)
+        _, tr_full = _build(cfg_full, rng)
+        p_full = jax.device_get(tr_full.fit())
+
+        ckpt2 = str(tmp_path / "ck2")
+        extra2 = tuple(
+            o.replace(ckpt, ckpt2) for o in extra
+        ) + ("save_and_load.load_model=True",)
+        cfg_a = _cfg(n_iters=10, chunk=5, extra=extra2)
+        _, tr_a = _build(cfg_a, rng)
+        tr_a.fit()
+        cfg_b = _cfg(n_iters=20, chunk=5, extra=extra2)
+        _, tr_b = _build(cfg_b, rng)
+        p_resumed = jax.device_get(tr_b.fit())
+        assert tr_b.resumed_step == 10
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_full),
+            jax.tree_util.tree_leaves(p_resumed),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_reservoir_resume_is_exact(self, rng, tmp_path):
         """A run interrupted at a chunk boundary and resumed must re-draw
         the SAME reservoir sequence (epoch-keyed fold_in) and produce
