@@ -133,7 +133,10 @@ class SolverTrainConfig:
     # Pallas tile kernel for the blockwise pairwise reduction
     # (ops/pallas/pairwise_kernel.py): "auto" uses it on TPU for plain MLP
     # kernels (no Fourier front end), "on" forces it (interpret mode off
-    # TPU), "off" keeps the pure-XLA blockwise formulation.
+    # TPU), "off" keeps the pure-XLA blockwise formulation.  "packed"
+    # selects the lane-packed v2 kernels with the collapsed quadratic head
+    # (ops/pallas/pairwise_packed.py) — profitable when every hidden width
+    # is <= 32 (the production 20x8 stack qualifies).
     kmv_pallas: str = "auto"
     # Pairwise-kernel tile shape (point-block x ref-block = pair rows per
     # grid cell).  (128, 8) was sized for the 16 MB default scoped-VMEM

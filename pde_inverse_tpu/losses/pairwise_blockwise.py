@@ -231,6 +231,17 @@ def pallas_supported(module) -> bool:
     )
 
 
+def packed_ok(module, mids) -> bool:
+    """True when the lane-packed v2 kernels (ops/pallas/pairwise_packed.py)
+    are both applicable and profitable: plain MLP stack whose kernel widths
+    fit 4 packed streams in the 128-lane registers."""
+    from pde_inverse_tpu.ops.pallas import pairwise_packed as pp
+
+    return pallas_supported(module) and pp.packed_supported(
+        mids, module.activation
+    )
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
@@ -406,9 +417,85 @@ def mlp_pairwise_stats(
         refs_bar = jnp.einsum("tmw,dw->mtd", ar_bar, W0y_l)
         return (cot, x_bar, v_bar, refs_bar, jnp.zeros_like(valid_l))
 
-    use_pallas = pallas_mode in ("on", "fwd") or (
-        pallas_mode == "auto" and _on_tpu() and pallas_supported(module)
-    )
+    def packed_local_sums(params_l, x_l, v_l, refs_l, valid_l):
+        """Lane-packed v2 kernels with the collapsed quadratic head
+        (ops/pallas/pairwise_packed.py).  The custom-vjp boundary sits
+        tightly around the kernel pair over (mids[:-1], M, u, ax, av, ar):
+        M = W_F W_F^T, u = 2 W_F b_F, c = |b_F|^2 and the first-layer
+        projections are plain differentiable jnp OUTSIDE it, so the
+        W_0/W_F/b_F/x/v/refs cotangent chains are autodiff — no manual
+        param plumbing (contrast pallas_bwd below)."""
+        from pde_inverse_tpu.ops.pallas import pairwise_packed as pp
+
+        layers, _, _, _, _ = _mlp_structure(module, params_l)
+        (W0, b0), mids = layers[0], layers[1:]
+        mids_m, (WF, bF) = list(mids[:-1]), mids[-1]
+        W0y_l = W0[:d]
+        ax = jnp.einsum("ntd,dw->tnw", x_l, W0y_l) + b0
+        av = jnp.einsum("ntd,dw->tnw", v_l, W0y_l)
+        ar = jnp.einsum("mtd,dw->tmw", refs_l, W0y_l)
+        M = WF @ WF.T
+        u = 2.0 * (WF @ bF)
+        c = bF @ bF
+
+        def kernel_call(mids_m_, M_, u_, ax_, av_, ar_, valid_):
+            return pp.mlp_pairwise_sums_packed(
+                mids_m_,
+                M_,
+                u_,
+                module.activation,
+                ax_.astype(dtype),
+                av_.astype(dtype),
+                ar_.astype(dtype),
+                valid_,
+                compute_dtype=dtype,
+                block_i=pallas_blocks[0],
+                block_j=pallas_blocks[1],
+            )
+
+        fpk = jax.custom_vjp(kernel_call)
+
+        def _pk_fwd(*primals):
+            return kernel_call(*primals), primals
+
+        def _pk_bwd(primals, g):
+            from pde_inverse_tpu.ops.pallas import pairwise_packed as pp_
+
+            mids_m_, M_, u_, ax_, av_, ar_, valid_ = primals
+            mb, Mb, ub, axb, avb, arb = pp_.mlp_pairwise_sums_packed_bwd(
+                mids_m_,
+                M_,
+                u_,
+                module.activation,
+                ax_.astype(dtype),
+                av_.astype(dtype),
+                ar_.astype(dtype),
+                valid_,
+                g["value"],
+                g["hess"],
+                g["s_dz0"],
+                compute_dtype=dtype,
+                block_i=pallas_blocks[0],
+                block_j=pallas_blocks[1],
+            )
+            return (mb, Mb, ub, axb, avb, arb, jnp.zeros_like(valid_))
+
+        fpk.defvjp(_pk_fwd, _pk_bwd)
+        sums = fpk(mids_m, M, u, ax, av, ar, valid_l.astype(jnp.float32))
+        value = sums["value"] + c * jnp.sum(valid_l.astype(jnp.float32))
+        return {
+            "value": value.T,
+            "hess": sums["hess"].T,
+            "s_dz0": jnp.swapaxes(sums["s_dz0"], 0, 1),
+        }
+
+    if pallas_mode == "packed":
+        local_sums_eff = packed_local_sums
+        use_pallas = False
+    else:
+        use_pallas = pallas_mode in ("on", "fwd") or (
+            pallas_mode == "auto" and _on_tpu() and pallas_supported(module)
+        )
     if use_pallas:
         f = jax.custom_vjp(pallas_local_sums_impl)
 
@@ -428,7 +515,7 @@ def mlp_pairwise_stats(
             # float mask: the backward paths differentiate/consume the mask
             # as a float operand, and jax.vjp rejects bool inputs
             return f(p, xx, vv, rr, valid.astype(jnp.float32))
-    else:
+    elif pallas_mode != "packed":
         local_sums_eff = local_sums
 
     def finalize(sums):

@@ -12,6 +12,9 @@ usage: python scripts/probe_pairwise_train_bwd.py [nt n m hidden layers feat]
            times jax.grad through the Pallas path for a grid of kernel
            tile shapes (block_i x block_j) — the VERDICT #4b tuning
            surface now that the scoped-VMEM budget is 100 MB.
+       ... --packed      adds the lane-packed v2 kernels
+           (ops/pallas/pairwise_packed.py) to the comparison / makes the
+           tile sweep run the packed path.
 """
 
 import os
@@ -31,7 +34,8 @@ from pde_inverse_tpu.utils.cache import enable_compilation_cache
 
 def main(argv):
     sweep = "--sweep-blocks" in argv
-    argv = [a for a in argv if a != "--sweep-blocks"]
+    packed = "--packed" in argv
+    argv = [a for a in argv if a not in ("--sweep-blocks", "--packed")]
     nt, n, m, hidden, layers, feat = (
         [int(a) for a in argv] + [7, 2000, 2000, 20, 8, 128][len(argv):]
     )
@@ -54,9 +58,10 @@ def main(argv):
 
     if sweep:
         ref = None
+        sweep_mode = "packed" if packed else "on"
         for blocks in [(128, 8), (128, 16), (128, 32), (256, 8), (256, 16),
                        (384, 8), (512, 8), (256, 32)]:
-            g = jax.jit(jax.grad(lambda p: loss(p, "on", blocks)))
+            g = jax.jit(jax.grad(lambda p: loss(p, sweep_mode, blocks)))
             try:
                 t0 = time.perf_counter()
                 out = g(params)
@@ -98,8 +103,10 @@ def main(argv):
         )
 
     results = {}
-    for mode in ("on", "off"):
-        g = jax.jit(jax.grad(lambda p: loss(p, mode)))
+    modes = ("packed", "on", "off") if packed else ("on", "off")
+    for mode in modes:
+        blocks = (128, 16) if mode == "packed" else (128, 8)
+        g = jax.jit(jax.grad(lambda p: loss(p, mode, blocks)))
         t0 = time.perf_counter()
         out = g(params)
         jax.block_until_ready(out)
@@ -135,6 +142,10 @@ def main(argv):
     print(f"max grad rel-err pallas vs jnp: {gap:.3e}")
     print(f"jnp chunk-order noise floor:    {floor:.3e}")
     ok = gap < max(8.0 * floor, 2e-4)
+    if packed:
+        gap_pk = worst_rel(results["packed"], results["off"])
+        print(f"max grad rel-err packed vs jnp: {gap_pk:.3e}")
+        ok = ok and gap_pk < max(8.0 * floor, 2e-4)
     print("PROBE", "OK" if ok else "MISMATCH")
     return 0 if ok else 1
 
