@@ -2,9 +2,10 @@
 
 Second-generation kernels behind ``losses/pairwise_blockwise.py`` (the v1
 kernels live in pairwise_kernel.py and remain the fallback).  Two exact
-restructurings close the measured fwd<->bwd work-ratio gap (docs/ROOFLINE.md
-S4: the v1 backward issues ~24 underfilled MXU dots/pair-row at the
-production hidden width w=32, 4x below the 128-wide systolic array):
+restructurings attack the measured cost structure of the v1 kernels at the
+production hidden width w=20 (docs/ROOFLINE.md S4): every elementwise op
+and matmul there runs on [R, 20] arrays that fill 20 of the 128 VPU lanes
+and underfill the MXU's K/N dimensions ~6x.
 
 1. **Squared-feature head collapse.**  With the feature layer (W_F [w, F],
    b_F [F]) and head Phi = |act(z) W_F + b_F|^2, the width-F stream never
@@ -13,25 +14,32 @@ production hidden width w=32, 4x below the 128-wide systolic array):
        Phi(g) = g.(M g) + u.g + c,   M = W_F W_F^T  [w, w],
                                      u = 2 W_F b_F  [w],  c = |b_F|^2,
 
-   so the kernel's widest matmul drops from [R, w]x[w, F=128] (x4 streams)
-   to one packed [R, Pw]x[Pw, Pw] dot.  M/u/c are built OUTSIDE the
-   custom-vjp boundary with plain jnp (differentiable), so the W_F/b_F
-   cotangent chain through M is autodiff — the kernels only ever see
-   (mids[:-1], M, u); the constant-per-pair c term is added outside as
-   ``c * sum(mask)``.
+   so the widest layer (x4 streams of [R, w]x[w, 128]) leaves the kernel
+   entirely.  M/u/c are built OUTSIDE the custom-vjp boundary with plain
+   jnp (differentiable), so the W_F/b_F cotangent chain through M is
+   autodiff; the constant-per-pair c is added outside as ``c * sum(mask)``.
 
-2. **Stream lane-packing with block-diagonal weights.**  All propagation
-   streams multiply the SAME layer weights, so P streams of width w pack
-   along the lane axis into one [R, P*w] array and each layer becomes ONE
-   dot against blkdiag_P(W) [P*w, P*w].  At the production w=32, P=4 the
-   packed dot exactly fills the 128-wide MXU: 1 issue/row where v1 paid 4.
-   (For w > 32 the packed dot tiles and the gain vanishes — the wrapper
-   auto-selects these kernels only when every kernel width is <= 32.)
+2. **Ref-axis lane packing.**  Each grid cell loads P*bj ref rows and
+   folds them into P lane slots of bj rows: every stream array becomes
+   [R, P*w] where slot s holds the SAME stream against ref sub-block s.
+   Because slots differ only in DATA (not math), the whole layer loop —
+   activations, derivative combos, stream algebra — runs uniformly on
+   full-width registers with NO per-slot slicing; weights enter as
+   blkdiag_P(W) so each dot covers P pairs per row.  Pack/unpack is
+   confined to cell boundaries (one lane-concat of the ref block at entry,
+   slot-fold sums at exit).  At w=20, P=6 fills 120/128 lanes — ~6x fewer
+   VPU cycles per pair and P pairs per MXU row-issue.
 
-Forward packs P=3 streams (z, d_v z, d_v^2 z); backward packs P=4
-(z, p=d_v z, q=d_v^2 z, r=d_g z) exactly as v1's 4-stream formulation
-(pairwise_kernel.mlp_pairwise_sums_bwd) — the algebra per stream is
-identical, only the layout changes.  Accumulator layouts (sel-iota row
+   (The first v2 iteration packed the four propagation STREAMS instead:
+   each layer then needs per-slot coefficient products, and the
+   lane-slices/concats at unaligned w=20 offsets relayout-bound the kernel
+   to 2.1x SLOWER than v1 on-chip — 102.6 vs 48.7 ms/grad at 7x512x512.
+   Slot contents must be math-uniform for lane packing to win; see git
+   history for the stream-packed variant.)
+
+Stream algebra per slot is EXACTLY v1's (pairwise_kernel._kernel /
+._bwd_kernel): forward propagates (z, d_v z, d_v^2 z), backward runs the
+4-stream formulation (z, p, q, r=d_g z).  Accumulator layouts (sel-iota row
 select on full-stamp [nt, bi] blocks, j==0-initialized revisited blocks,
 once-written ar partials) are v1's, proven on this backend.
 
@@ -56,7 +64,6 @@ from pde_inverse_tpu.ops.pallas.pairwise_kernel import (
     _ACT_D0123,
     _dot,
     _dot_t,
-    _pair_rows,
     _round_up,
 )
 
@@ -66,11 +73,25 @@ _INTERPRET = False
 _VMEM_BUDGET = 100 * 1024 * 1024  # see pairwise_kernel.mlp_pairwise_sums_bwd
 
 
+def _widths(mids_m, M, w0: int):
+    ws = [w0] + [W.shape[1] for W, _ in mids_m] + [M.shape[0]]
+    return ws
+
+
+def _pack_factor(mids_m, M, w0: int, bj: int) -> int:
+    """Ref slots per grid cell: as many as fit the 128-lane registers at
+    the widest stream, reduced until P*bj rows satisfy Mosaic's
+    second-to-last block-dim rule (divisible by 8)."""
+    p = max(1, 128 // max(_widths(mids_m, M, w0)))
+    while p > 1 and (p * bj) % 8 != 0:
+        p -= 1
+    return p
+
+
 def packed_supported(mids, act_name: str) -> bool:
     """True iff the packed kernels are the PROFITABLE choice: every width
-    the kernel touches fits 4 packed streams in the 128-lane registers
-    (w <= 32).  Correctness holds for any width; beyond 32 lanes the packed
-    dot tiles and v1's per-stream dots are no slower."""
+    the kernel touches fits >= 2 ref slots in the 128-lane registers
+    (w <= 32 after the head collapse removes the feature layer)."""
     if act_name not in _ACT_D0123:
         return False
     widths = [W.shape[0] for W, _ in mids] + [mids[-1][0].shape[0]]
@@ -86,25 +107,71 @@ def _blkdiag(W, p: int):
     return out
 
 
-def _pack_bias(b, p: int):
-    """[1, p*w] bias with b in slot 0 (tangent streams are bias-free)."""
-    return jnp.concatenate([b, jnp.zeros(((p - 1) * b.shape[0],), b.dtype)])[
-        None, :
-    ]
+def _tile_lanes(a, p: int):
+    """[..., w] -> [..., p*w]: the same values in every slot."""
+    return jnp.concatenate([a] * p, axis=-1)
 
 
-def _slices(a, w: int, p: int):
-    return tuple(a[:, s * w : (s + 1) * w] for s in range(p))
+def _fold_slots(a, w: int, p: int):
+    """[..., p*w] -> [..., w]: sum over slots."""
+    out = a[..., :w]
+    for s in range(1, p):
+        out = out + a[..., s * w : (s + 1) * w]
+    return out
 
 
-def _fwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
+def _diag_blocks_sum(Wp, win: int, wout: int, p: int):
+    out = Wp[:win, :wout]
+    for s in range(1, p):
+        out = out + Wp[s * win : (s + 1) * win, s * wout : (s + 1) * wout]
+    return out
+
+
+def _slot_pack_refs(arb, w0: int, bj: int, p: int):
+    """[p*bj, w0] ref rows -> [bj, p*w0] lane-slotted (slot s = rows
+    s*bj..(s+1)*bj)."""
+    return jnp.concatenate(
+        [arb[s * bj : (s + 1) * bj] for s in range(p)], axis=1
+    )
+
+
+def _slot_mask(mk, w: int, bj: int, p: int):
+    """[p*bj, 1] mask column -> [bj, p*w] lane-replicated at width w."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(mk[s * bj : (s + 1) * bj], (bj, w)) for s in range(p)],
+        axis=1,
+    )
+
+
+def _pair_rows_packed(axb, arb_p, avb, w0, bj, bi, p, compute_dtype):
+    """Packed first-layer pair rows: z[r, s*w0:(s+1)*w0] = ax_q - ar_{s,pj}
+    for row r = pj*bi + q (ref-major rows, exactly v1's ordering within
+    each slot).  Reshapes run in f32 (Mosaic rejects 16-bit shape casts)."""
+    f = jnp.float32
+    axt = _tile_lanes(axb.astype(f), p)  # [bi, p*w0]
+    avt = _tile_lanes(avb.astype(f), p)
+    z = (
+        (axt[None, :, :] - arb_p.astype(f)[:, None, :])
+        .reshape(bj * bi, p * w0)
+        .astype(compute_dtype)
+    )
+    dz = (
+        jnp.broadcast_to(avt[None, :, :], (bj, bi, p * w0))
+        .reshape(bj * bi, p * w0)
+        .astype(compute_dtype)
+    )
+    return z, dz
+
+
+def _fwd_kernel(
+    n_m: int, w_last: int, w0: int, p: int, act_name: str, compute_dtype, *refs
+):
     """Packed forward body.  refs layout:
-    [ax, av, ar, mask, Wblk_1, bblk_1, ..., Wblk_nm, bblk_nm, Mblk, u,
+    [ax, av, ar, mask, Wblk_1, bpk_1, ..., Wblk_nm, bpk_nm, Mblk, upk,
      out_val, out_hess, out_dz0]
-    with ax/av [1, bi, w0]; ar [1, bj, w0]; mask [bj, 1]; Wblk_k the P=3
-    block-diagonal mid weights; Mblk = blkdiag_3(M); u [1, w_last].
-    Grid (i, t, j) and output accumulation exactly as
-    pairwise_kernel._kernel."""
+    with ax/av [1, bi, w0]; ar [1, p*bj, w0]; mask [p*bj, 1]; Wblk_k the
+    blkdiag_p mid weights, bpk/upk lane-tiled.  Grid (i, t, j) and output
+    accumulation exactly as pairwise_kernel._kernel."""
     act = _ACT_D012[act_name]
     ax_ref, av_ref, ar_ref, mask_ref = refs[:4]
     w_refs = refs[4 : 4 + 2 * n_m]
@@ -113,67 +180,61 @@ def _fwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
     t = pl.program_id(1)
     j = pl.program_id(2)
     cd = lambda a: a.astype(compute_dtype)
-    P = 3
 
     axb = ax_ref[0]  # [bi, w0]
     avb = av_ref[0]
-    arb = ar_ref[0]  # [bj, w0]
-    mk = mask_ref[...]  # [bj, 1]
-    bi, w0 = axb.shape
-    bj = arb.shape[0]
+    arb = ar_ref[0]  # [p*bj, w0]
+    mk = mask_ref[...]  # [p*bj, 1]
+    bi = axb.shape[0]
+    bj = arb.shape[0] // p
     R = bj * bi
 
-    z, dz = _pair_rows(axb, arb, avb, compute_dtype)
-    zp = jnp.concatenate([z, dz, jnp.zeros_like(z)], axis=1)  # [R, 3*w0]
+    arp = _slot_pack_refs(arb, w0, bj, p)  # [bj, p*w0]
+    z, dz = _pair_rows_packed(axb, arp, avb, w0, bj, bi, p, compute_dtype)
+    d2z = None  # exactly zero at the first layer (linear in y)
 
+    # hidden stack — v1's per-stream algebra on full-width packed lanes
     a1_saved = []
-    w = w0
     for k in range(n_m):
-        Wb = cd(w_refs[2 * k][...])
-        bb = cd(w_refs[2 * k + 1][...])
-        zk, pk, qk = _slices(zp, w, P)
-        a0, a1, a2 = act(zk)
-        a1_saved.append(a1)
-        h = jnp.concatenate([a0, a1 * pk, a2 * pk * pk + a1 * qk], axis=1)
-        zp = (_dot(h, Wb) + bb).astype(compute_dtype)
-        w = Wb.shape[1] // P
+        W = cd(w_refs[2 * k][...])
+        b = cd(w_refs[2 * k + 1][...])
+        a, d1, d2 = act(z)
+        a1_saved.append(d1)
+        h, dh = a, d1 * dz
+        d2h = d2 * dz * dz if d2z is None else d2 * dz * dz + d1 * d2z
+        z = (_dot(h, W) + b).astype(compute_dtype)
+        dz = _dot(dh, W).astype(compute_dtype)
+        d2z = _dot(d2h, W).astype(compute_dtype)
 
-    # head: g = act(z_final); Phi = g.(M g) + u.g  (+c outside)
-    zk, pk, qk = _slices(zp, w_last, P)
-    a0, a1, a2 = act(zk)
-    g, gp = a0, a1 * pk
-    gq = a2 * pk * pk + a1 * qk
-    g3 = jnp.concatenate([g, gp, gq], axis=1)
-    mg3 = _dot(g3, cd(mblk_ref[...])).astype(jnp.float32)
-    Mg, Mgp, Mgq = _slices(mg3, w_last, P)
-    u = u_ref[...].astype(jnp.float32)  # [1, w_last]
-    gf, gpf, gqf = (
-        g.astype(jnp.float32),
-        gp.astype(jnp.float32),
-        gq.astype(jnp.float32),
-    )
-    # per-pair scalars, kept 2-D [bj, bi] via the 3-D view reduction
-    phi = jnp.sum((gf * Mg + gf * u).reshape(bj, bi, w_last), axis=-1)
-    d2phi = jnp.sum(
-        (2.0 * gpf * Mgp + 2.0 * gqf * Mg + gqf * u).reshape(bj, bi, w_last),
-        axis=-1,
-    )
+    # collapsed head: g = act(z); Phi = g.(M g) + u.g  (+c outside)
+    a, d1, d2 = act(z)
+    g, gp = a, d1 * dz
+    gq = d2 * dz * dz if d2z is None else d2 * dz * dz + d1 * d2z
+    Mg = _dot(g, cd(mblk_ref[...])).astype(jnp.float32)
+    Mgp = _dot(gp, cd(mblk_ref[...])).astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)  # [1, p*w_last]
+    gf = g.astype(jnp.float32)
+    gpf = gp.astype(jnp.float32)
+    gqf = gq.astype(jnp.float32)
+    phi_l = gf * Mg + gf * u  # [R, p*w_last]
+    d2phi_l = 2.0 * gpf * Mgp + 2.0 * gqf * Mg + gqf * u
 
-    # reverse sweep to the first-layer cotangent (single stream, width w)
-    delta = ((2.0 * Mg + u) * a1.astype(jnp.float32)).astype(compute_dtype)
+    # masked per-(row, slot) reduction to [bj, bi] then [1, bi]
+    mkw = _slot_mask(mk, w_last, bj, p)[:, None, :]  # [bj, 1, p*w]
+    val2 = jnp.sum(phi_l.reshape(bj, bi, p * w_last) * mkw, axis=-1)
+    hess2 = jnp.sum(d2phi_l.reshape(bj, bi, p * w_last) * mkw, axis=-1)
+    val_row = jnp.sum(val2, axis=0, keepdims=True)  # [1, bi]
+    hess_row = jnp.sum(hess2, axis=0, keepdims=True)
+
+    # reverse sweep to the first-layer cotangent (packed single stream)
+    delta = ((2.0 * Mg + u) * d1.astype(jnp.float32)).astype(compute_dtype)
     for k in reversed(range(n_m)):
-        Wb = cd(w_refs[2 * k][...])
-        w_in = Wb.shape[0] // P
-        w_out = Wb.shape[1] // P
-        W = Wb[:w_in, :w_out]  # slot-0 diagonal block = the raw weights
+        W = cd(w_refs[2 * k][...])
         delta = (_dot_t(delta, W) * a1_saved[k]).astype(compute_dtype)
 
-    mk2 = jnp.broadcast_to(mk, (bj, bi))
-    val_row = jnp.sum(mk2 * phi, axis=0, keepdims=True)  # [1, bi]
-    hess_row = jnp.sum(mk2 * d2phi, axis=0, keepdims=True)
-    dz0_c = jnp.sum(
-        delta.astype(jnp.float32).reshape(bj, bi, w0) * mk[:, :, None], axis=0
-    )  # [bi, w0]
+    mkw0 = _slot_mask(mk, w0, bj, p)[:, None, :]  # [bj, 1, p*w0]
+    dz0_m = delta.astype(jnp.float32).reshape(bj, bi, p * w0) * mkw0
+    dz0_c = _fold_slots(jnp.sum(dz0_m, axis=0), w0, p)  # [bi, w0]
 
     nt_b = val_ref.shape[0]
     sel = (
@@ -218,18 +279,22 @@ def mlp_pairwise_sums_packed(
     mids_m: hidden layers BEFORE the feature layer (possibly empty);
     M [w, w] = W_F W_F^T, u [w] = 2 W_F b_F of the collapsed head; ax/av/ar
     [nt, ., w0] first-layer projections and mask [m] exactly as
-    pairwise_kernel.mlp_pairwise_sums.  Returns {"value" [nt, n],
-    "hess" [nt, n], "s_dz0" [nt, n, w0]} — value EXCLUDES the per-pair
-    constant c = |b_F|^2 (add ``c * sum(mask)`` outside)."""
+    pairwise_kernel.mlp_pairwise_sums.  Each grid cell covers
+    block_i x (P * block_j) pairs per stamp with P ref slots in the lane
+    axis.  Returns {"value" [nt, n], "hess" [nt, n], "s_dz0" [nt, n, w0]}
+    — value EXCLUDES the per-pair constant c = |b_F|^2 (add
+    ``c * sum(mask)`` outside)."""
     nt, n, w0 = ax.shape
     m = ar.shape[1]
     n_m = len(mids_m)
-    P = 3
+    w_last = M.shape[0]
 
     bi = min(block_i, _round_up(n, 8))
-    bj = min(block_j, m)
+    bj = block_j
+    p = _pack_factor(mids_m, M, w0, bj)
+    cell_m = p * bj
     n_pad = _round_up(n, bi)
-    m_pad = _round_up(m, bj)
+    m_pad = _round_up(m, cell_m)
     mask = mask.astype(jnp.float32)
     if n_pad != n:
         ax = jnp.pad(ax, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -239,27 +304,27 @@ def mlp_pairwise_sums_packed(
         mask = jnp.pad(mask, (0, m_pad - m))
     mask2 = mask[:, None]
 
-    grid = (n_pad // bi, nt, m_pad // bj)
+    grid = (n_pad // bi, nt, m_pad // cell_m)
     in_specs = [
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
-        pl.BlockSpec((1, bj, w0), lambda i, t, j: (t, j, 0)),
-        pl.BlockSpec((bj, 1), lambda i, t, j: (j, 0)),
+        pl.BlockSpec((1, cell_m, w0), lambda i, t, j: (t, j, 0)),
+        pl.BlockSpec((cell_m, 1), lambda i, t, j: (j, 0)),
     ]
     args = [ax, av, ar, mask2]
     for W, b in mids_m:
-        Wb, bb = _blkdiag(W, P), _pack_bias(b, P)
+        Wb = _blkdiag(W, p)
+        bb = _tile_lanes(b, p)[None, :]
         in_specs.append(pl.BlockSpec(Wb.shape, lambda i, t, j: (0, 0)))
         args.append(Wb)
         in_specs.append(pl.BlockSpec(bb.shape, lambda i, t, j: (0, 0)))
         args.append(bb)
-    Mb = _blkdiag(M, P)
+    Mb = _blkdiag(M, p)
     in_specs.append(pl.BlockSpec(Mb.shape, lambda i, t, j: (0, 0)))
     args.append(Mb)
-    u2 = u.reshape(1, -1)
-    in_specs.append(pl.BlockSpec(u2.shape, lambda i, t, j: (0, 0)))
-    args.append(u2)
-    w_last = M.shape[0]
+    upk = _tile_lanes(u, p)[None, :]
+    in_specs.append(pl.BlockSpec(upk.shape, lambda i, t, j: (0, 0)))
+    args.append(upk)
 
     out_shape = [
         jax.ShapeDtypeStruct((nt, n_pad), jnp.float32),
@@ -272,13 +337,15 @@ def mlp_pairwise_sums_packed(
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
     ]
 
-    flops_tile = 2 * bi * bj * (
-        sum(P * W.shape[0] * P * W.shape[1] for W, _ in mids_m)
-        + P * w_last * P * w_last
-        + sum(W.shape[0] * W.shape[1] for W, _ in mids_m)
+    flops_tile = 2 * bi * bj * p * (
+        sum(3 * W.shape[0] * W.shape[1] + W.shape[0] * W.shape[1]
+            for W, _ in mids_m)
+        + 2 * w_last * w_last
     )
     val, hess, s_dz0 = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_m, w_last, act_name, compute_dtype),
+        functools.partial(
+            _fwd_kernel, n_m, w_last, w0, p, act_name, compute_dtype
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -286,7 +353,7 @@ def mlp_pairwise_sums_packed(
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * grid[0] * grid[1] * grid[2],
             bytes_accessed=(ax.size + av.size + ar.size) * 4,
-            transcendentals=bi * bj
+            transcendentals=bi * bj * p
             * (sum(W.shape[0] for W, _ in mids_m) + w_last),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
@@ -299,16 +366,18 @@ def mlp_pairwise_sums_packed(
     }
 
 
-def _bwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
+def _bwd_kernel(
+    n_m: int, w_last: int, w0: int, p: int, act_name: str, compute_dtype, *refs
+):
     """Packed backward body — v1's 4-stream formulation
-    (pairwise_kernel._bwd_kernel) on packed [R, 4w] lanes with the collapsed
-    head.  refs layout:
+    (pairwise_kernel._bwd_kernel) on ref-slot-packed lanes with the
+    collapsed head.  refs layout:
     [ax, av, ar, mask, gval, ghess, gdz0,
-     Wblk_1, bblk_1, ..., Wblk_nm, bblk_nm, Mblk, u,
-     out_Wbarblk_1, out_bbarblk_1, ..., out_Mbar2, out_ubar,
+     Wblk_1, bpk_1, ..., Wblk_nm, bpk_nm, Mblk, upk,
+     out_Wbarblk_1, out_bbarpk_1, ..., out_Mbarblk, out_ubarpk,
      out_ax_bar, out_av_bar, out_ar_bar_partial]
-    where out_Mbar2 is the packed [2w, 2w] contraction whose (0,0)/(1,1)
-    diagonal blocks sum to Mbar (extracted by the wrapper)."""
+    Weight/M/u grads accumulate PACKED (slot-diagonal blocks / lane tiles);
+    the wrapper folds slots."""
     act3 = _ACT_D0123[act_name]
     ax_ref, av_ref, ar_ref, mask_ref, gval_ref, ghess_ref, gdz0_ref = refs[:7]
     w_refs = refs[7 : 7 + 2 * n_m]
@@ -321,14 +390,13 @@ def _bwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
     j = pl.program_id(2)
     first_cell = (i == 0) & (t == 0) & (j == 0)
     cd = lambda a: a.astype(compute_dtype)
-    P = 4
 
     axb = ax_ref[0]
     avb = av_ref[0]
-    arb = ar_ref[0]
-    mk = mask_ref[...]  # [bj, 1]
-    bi, w0 = axb.shape
-    bj = arb.shape[0]
+    arb = ar_ref[0]  # [p*bj, w0]
+    mk = mask_ref[...]  # [p*bj, 1]
+    bi = axb.shape[0]
+    bj = arb.shape[0] // p
     R = bj * bi
     nt_b = gval_ref.shape[0]
     sel = (
@@ -338,114 +406,130 @@ def _bwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
     gh = jnp.sum(sel * ghess_ref[...], axis=0, keepdims=True)
     gr = gdz0_ref[0]  # [bi, w0]
 
-    z, p = _pair_rows(axb, arb, avb, compute_dtype)
+    arp = _slot_pack_refs(arb, w0, bj, p)
+    z, ps = _pair_rows_packed(axb, arp, avb, w0, bj, bi, p, compute_dtype)
+    q = None  # exactly zero at z0
+    grt = _tile_lanes(gr.astype(jnp.float32), p)  # [bi, p*w0]
     r = (
-        jnp.broadcast_to(gr.astype(jnp.float32)[None, :, :], (bj, bi, w0))
-        .reshape(R, w0)
+        jnp.broadcast_to(grt[None, :, :], (bj, bi, p * w0))
+        .reshape(R, p * w0)
         .astype(compute_dtype)
     )
-    zp = jnp.concatenate([z, p, jnp.zeros_like(z), r], axis=1)  # [R, 4*w0]
 
     saved = []
-    w = w0
     for k in range(n_m):
-        Wb = cd(w_refs[2 * k][...])
-        bb = cd(w_refs[2 * k + 1][...])
-        saved.append(zp)
-        zk, pk, qk, rk = _slices(zp, w, P)
-        a0, a1, a2, _ = act3(zk)
-        h = jnp.concatenate(
-            [a0, a1 * pk, a2 * pk * pk + a1 * qk, a1 * rk], axis=1
-        )
-        zp = (_dot(h, Wb) + bb).astype(compute_dtype)
-        w = Wb.shape[1] // P
+        W = cd(w_refs[2 * k][...])
+        b = cd(w_refs[2 * k + 1][...])
+        saved.append((z, ps, q, r))
+        a0, a1, a2, _ = act3(z)
+        h = a0
+        hp = a1 * ps
+        hq = a2 * ps * ps if q is None else a2 * ps * ps + a1 * q
+        hr = a1 * r
+        z = (_dot(h, W) + b).astype(compute_dtype)
+        ps = _dot(hp, W).astype(compute_dtype)
+        q = _dot(hq, W).astype(compute_dtype)
+        r = _dot(hr, W).astype(compute_dtype)
 
-    # g-level streams and the packed M dot
-    zk, pk, qk, rk = _slices(zp, w_last, P)
-    a0, a1, a2, a3 = act3(zk)
-    g, gp = a0, a1 * pk
-    gq = a2 * pk * pk + a1 * qk
-    gs = a1 * rk  # r-direction tangent of g
-    g4 = jnp.concatenate([g, gp, gq, gs], axis=1)
-    mg4 = _dot(g4, cd(mblk_ref[...])).astype(jnp.float32)
-    Mg, Mgp, Mgq, Mgr = _slices(mg4, w_last, P)
+    # collapsed-head streams + packed M dots
+    a0, a1, a2, a3 = act3(z)
+    g = a0
+    gp = a1 * ps
+    gq = a2 * ps * ps if q is None else a2 * ps * ps + a1 * q
+    gs = a1 * r
+    Mb = cd(mblk_ref[...])
+    Mg = _dot(g, Mb).astype(jnp.float32)
+    Mgp = _dot(gp, Mb).astype(jnp.float32)
+    Mgq = _dot(gq, Mb).astype(jnp.float32)
+    Mgr = _dot(gs, Mb).astype(jnp.float32)
     u = u_ref[...].astype(jnp.float32)
+    two_mg_u = 2.0 * Mg + u
 
-    # per-row lambda weights on the 3-D view (no [R, 1] column reshapes)
-    mk3 = mk[:, :, None]  # [bj, 1, 1]
-    gv3 = gv[:, :, None] * mk3  # [bj, bi, 1]
-    gh3 = gh[:, :, None] * mk3
-    mkb = jnp.broadcast_to(mk3, (bj, bi, 1))
+    # per-row (g_val/g_hess) and per-(row, slot) mask weights on the 3-D
+    # view (no [R, 1] column reshapes)
+    wl = p * w_last
+    gv3 = gv[:, :, None]  # [1, bi, 1]
+    gh3 = gh[:, :, None]
+    mkw3 = _slot_mask(mk, w_last, bj, p)[:, None, :]  # [bj, 1, p*w]
 
-    def wrow(t_, coef):  # coef [bj, bi, 1] applied to [R, w_last] f32
-        return (t_.reshape(bj, bi, w_last) * coef).reshape(R, w_last)
+    def wrow(t_, coef):  # [R, wl] * ([bj,1,wl] or [1,bi,1]) weights, f32
+        return (t_.reshape(bj, bi, wl) * coef * mkw3).reshape(R, wl)
 
     gf = g.astype(jnp.float32)
     gpf = gp.astype(jnp.float32)
     gqf = gq.astype(jnp.float32)
     gsf = gs.astype(jnp.float32)
-    two_mg_u = 2.0 * Mg + u
+    one = jnp.ones((1, bi, 1), jnp.float32)
 
-    # head cotangents at the g level (see module docstring math):
+    # head cotangents at the g level (module docstring math):
     #   S = mk*(gv*Phi + gh*d2Phi + dPhi_r),  Phi = g.Mg + u.g,
     #   d2Phi = 2 gp.Mgp + 2 gq.Mg + u.gq,    dPhi_r = (2Mg+u).gs
-    gbar = wrow(two_mg_u, gv3) + wrow(2.0 * Mgq, gh3) + wrow(2.0 * Mgr, mkb)
+    gbar = wrow(two_mg_u, gv3) + wrow(2.0 * Mgq, gh3) + wrow(2.0 * Mgr, one)
     gpbar = wrow(4.0 * Mgp, gh3)
     gqbar = wrow(two_mg_u, gh3)
-    gsbar = wrow(two_mg_u, mkb)
+    gsbar = wrow(two_mg_u, one)
 
-    # Mbar/ubar accumulators: Mbar = L1^T g + L2^T gp with
-    #   L1 = mk*gv*g + 2*mk*gh*gq + 2*mk*gs,  L2 = 2*mk*gh*gp
-    L1 = wrow(gf, gv3) + wrow(2.0 * gqf, gh3) + wrow(2.0 * gsf, mkb)
+    # Mbar = L1^T g + L2^T gp (slot-diagonal blocks; wrapper folds slots)
+    L1 = wrow(gf, gv3) + wrow(2.0 * gqf, gh3) + wrow(2.0 * gsf, one)
     L2 = wrow(2.0 * gpf, gh3)
-    Lpack = jnp.concatenate([L1, L2], axis=1).astype(compute_dtype)
-    Gpack = jnp.concatenate([gf, gpf], axis=1).astype(compute_dtype)
-    mbar2 = jax.lax.dot_general(
-        Lpack, Gpack, (((0,), (0,)), ((), ())),
+    mbar_c = jax.lax.dot_general(
+        L1.astype(compute_dtype), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [2w, 2w]
-    ubar_row = wrow(gf, gv3) + wrow(gqf, gh3) + wrow(gsf, mkb)
-    ubar_c = jnp.sum(ubar_row, axis=0, keepdims=True)  # [1, w_last]
+    ) + jax.lax.dot_general(
+        L2.astype(compute_dtype), gp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [p*w, p*w]
+    ubar_c = jnp.sum(
+        wrow(gf, gv3) + wrow(gqf, gh3) + wrow(gsf, one),
+        axis=0,
+        keepdims=True,
+    )  # [1, p*w]
 
     @pl.when(first_cell)
     def _():
-        mbar_ref[...] = mbar2
+        mbar_ref[...] = mbar_c
         ubar_ref[...] = ubar_c
 
     @pl.when(jnp.logical_not(first_cell))
     def _():
-        mbar_ref[...] += mbar2
+        mbar_ref[...] += mbar_c
         ubar_ref[...] += ubar_c
 
     # g-level cotangents -> z_final-preact-level packed cotangents
     zbar = (
         gbar * a1
-        + gpbar * (a2 * pk)
-        + gqbar * (a3 * pk * pk + a2 * qk)
-        + gsbar * (a2 * rk)
+        + gpbar * (a2 * ps)
+        + gqbar * (a3 * ps * ps if q is None else a3 * ps * ps + a2 * q)
+        + gsbar * (a2 * r)
     )
-    pbar = gpbar * a1 + gqbar * (2.0 * a2 * pk)
+    pbar = gpbar * a1 + gqbar * (2.0 * a2 * ps)
     qbar = gqbar * a1
     rbar = gsbar * a1
-    zb4 = jnp.concatenate([zbar, pbar, qbar, rbar], axis=1).astype(
-        compute_dtype
-    )
+    zbar = zbar.astype(compute_dtype)
+    pbar = pbar.astype(compute_dtype)
+    qbar = qbar.astype(compute_dtype)
+    rbar = rbar.astype(compute_dtype)
 
     # reverse sweep with packed weight-gradient accumulation
     for k in reversed(range(n_m)):
-        Wb = cd(w_refs[2 * k][...])
-        w_in = Wb.shape[0] // P
-        zpk = saved[k]
-        zk, pk, qk, rk = _slices(zpk, w_in, P)
+        W = cd(w_refs[2 * k][...])
+        zk, pk, qk, rk = saved[k]
         a0, a1, a2, a3 = act3(zk)
-        h = jnp.concatenate(
-            [a0, a1 * pk, a2 * pk * pk + a1 * qk, a1 * rk], axis=1
+        h = a0
+        hp = a1 * pk
+        hq = a2 * pk * pk if qk is None else a2 * pk * pk + a1 * qk
+        hr = a1 * rk
+
+        def wcon(lhs, rhs):  # [R, win]^T @ [R, wout] -> [win, wout], f32
+            return jax.lax.dot_general(
+                lhs, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        wbar = (
+            wcon(h, zbar) + wcon(hp, pbar) + wcon(hq, qbar) + wcon(hr, rbar)
         )
-        wbar = jax.lax.dot_general(
-            h, zb4, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # packed [4*w_in, 4*w_out]
-        bbar = jnp.sum(zb4.astype(jnp.float32), axis=0, keepdims=True)
+        bbar = jnp.sum(zbar.astype(jnp.float32), axis=0, keepdims=True)
 
         @pl.when(first_cell)
         def _(k=k, wbar=wbar, bbar=bbar):
@@ -457,28 +541,31 @@ def _bwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
             grad_refs[2 * k][...] += wbar
             grad_refs[2 * k + 1][...] += bbar
 
-        hb4 = _dot_t(zb4, Wb).astype(jnp.float32)
-        hbar, hpbar, hqbar, hrbar = _slices(hb4, w_in, P)
-        zbar = (
-            hbar * a1
-            + hpbar * (a2 * pk)
-            + hqbar * (a3 * pk * pk + a2 * qk)
-            + hrbar * (a2 * rk)
+        hbar = _dot_t(zbar, W)
+        hpbar = _dot_t(pbar, W)
+        hqbar = _dot_t(qbar, W)
+        hrbar = _dot_t(rbar, W)
+        zbar_new = hbar * a1 + hpbar * (a2 * pk) + hrbar * (a2 * rk)
+        zbar_new = zbar_new + hqbar * (
+            a3 * pk * pk if qk is None else a3 * pk * pk + a2 * qk
         )
-        pbar = hpbar * a1 + hqbar * (2.0 * a2 * pk)
-        qbar = hqbar * a1
-        rbar = hrbar * a1
-        zb4 = jnp.concatenate([zbar, pbar, qbar, rbar], axis=1).astype(
-            compute_dtype
-        )
+        pbar = (hpbar * a1 + hqbar * (2.0 * a2 * pk)).astype(compute_dtype)
+        qbar = (hqbar * a1).astype(compute_dtype)
+        rbar = (hrbar * a1).astype(compute_dtype)
+        zbar = zbar_new.astype(compute_dtype)
 
     # z0-level cotangents -> ax/av accumulators and the ar partial
-    zbar0, pbar0, _, _ = _slices(zb4.astype(jnp.float32), w0, P)
-    z0bar = zbar0.reshape(bj, bi, w0)
-    p0bar = pbar0.reshape(bj, bi, w0)
-    ax_c = jnp.sum(z0bar, axis=0)  # [bi, w0]
-    av_c = jnp.sum(p0bar, axis=0)
-    ar_c = -jnp.sum(z0bar, axis=1)  # [bj, w0]
+    z0bar = zbar.astype(jnp.float32)  # [R, p*w0]
+    p0bar = pbar.astype(jnp.float32)
+    z0f = _fold_slots(z0bar, w0, p).reshape(bj, bi, w0)
+    p0f = _fold_slots(p0bar, w0, p).reshape(bj, bi, w0)
+    ax_c = jnp.sum(z0f, axis=0)  # [bi, w0]
+    av_c = jnp.sum(p0f, axis=0)
+    # ar grads per (slot, row): un-pack lanes back to [p*bj, w0] rows
+    zsum = jnp.sum(z0bar.reshape(bj, bi, p * w0), axis=1)  # [bj, p*w0]
+    ar_c = -jnp.concatenate(
+        [zsum[:, s * w0 : (s + 1) * w0] for s in range(p)], axis=0
+    )  # [p*bj, w0]
 
     @pl.when(j == 0)
     def _():
@@ -490,7 +577,7 @@ def _bwd_kernel(n_m: int, w_last: int, act_name: str, compute_dtype, *refs):
         axbar_ref[0] += ax_c
         avbar_ref[0] += av_c
 
-    arbar_ref[0, 0] = ar_c
+    arbar_ref[0, 0] = ar_c  # (i, t, j) cell written exactly once
 
 
 def mlp_pairwise_sums_packed_bwd(
@@ -520,13 +607,14 @@ def mlp_pairwise_sums_packed_bwd(
     nt, n, w0 = ax.shape
     m = ar.shape[1]
     n_m = len(mids_m)
-    P = 4
     w_last = M.shape[0]
 
     bi = min(block_i, _round_up(n, 8))
-    bj = min(block_j, m)
+    bj = block_j
+    p = _pack_factor(mids_m, M, w0, bj)
+    cell_m = p * bj
     n_pad = _round_up(n, bi)
-    m_pad = _round_up(m, bj)
+    m_pad = _round_up(m, cell_m)
     mask = mask.astype(jnp.float32)
     if n_pad != n:
         padn = ((0, 0), (0, n_pad - n))
@@ -541,46 +629,49 @@ def mlp_pairwise_sums_packed_bwd(
     mask2 = mask[:, None]
     n_blk_i = n_pad // bi
 
-    grid = (n_blk_i, nt, m_pad // bj)
+    grid = (n_blk_i, nt, m_pad // cell_m)
     in_specs = [
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # ax
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # av
-        pl.BlockSpec((1, bj, w0), lambda i, t, j: (t, j, 0)),  # ar
-        pl.BlockSpec((bj, 1), lambda i, t, j: (j, 0)),  # mask
-        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_val
+        pl.BlockSpec((1, cell_m, w0), lambda i, t, j: (t, j, 0)),  # ar
+        pl.BlockSpec((cell_m, 1), lambda i, t, j: (j, 0)),  # mask
+        pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_val (full stamps)
         pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_hess
         pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # g_dz0
     ]
     args = [ax, av, ar, mask2, g_val, g_hess, g_dz0]
     for W, b in mids_m:
-        Wb, bb = _blkdiag(W, P), _pack_bias(b, P)
+        Wb = _blkdiag(W, p)
+        bb = _tile_lanes(b, p)[None, :]
         in_specs.append(pl.BlockSpec(Wb.shape, lambda i, t, j: (0, 0)))
         args.append(Wb)
         in_specs.append(pl.BlockSpec(bb.shape, lambda i, t, j: (0, 0)))
         args.append(bb)
-    Mb = _blkdiag(M, P)
+    Mb = _blkdiag(M, p)
     in_specs.append(pl.BlockSpec(Mb.shape, lambda i, t, j: (0, 0)))
     args.append(Mb)
-    u2 = u.reshape(1, -1)
-    in_specs.append(pl.BlockSpec(u2.shape, lambda i, t, j: (0, 0)))
-    args.append(u2)
+    upk = _tile_lanes(u, p)[None, :]
+    in_specs.append(pl.BlockSpec(upk.shape, lambda i, t, j: (0, 0)))
+    args.append(upk)
 
     out_shape = []
     out_specs = []
     for W, b in mids_m:  # PACKED weight grads: constant-index accumulators
-        wsh = (P * W.shape[0], P * W.shape[1])
+        wsh = (p * W.shape[0], p * W.shape[1])
         out_shape.append(jax.ShapeDtypeStruct(wsh, jnp.float32))
         out_specs.append(pl.BlockSpec(wsh, lambda i, t, j: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((1, P * b.shape[0]), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((1, p * b.shape[0]), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, P * b.shape[0]), lambda i, t, j: (0, 0))
+            pl.BlockSpec((1, p * b.shape[0]), lambda i, t, j: (0, 0))
         )
-    out_shape.append(jax.ShapeDtypeStruct((2 * w_last, 2 * w_last), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec((2 * w_last, 2 * w_last), lambda i, t, j: (0, 0))
+    out_shape.append(
+        jax.ShapeDtypeStruct((p * w_last, p * w_last), jnp.float32)
     )
-    out_shape.append(jax.ShapeDtypeStruct((1, w_last), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, w_last), lambda i, t, j: (0, 0)))
+    out_specs.append(
+        pl.BlockSpec((p * w_last, p * w_last), lambda i, t, j: (0, 0))
+    )
+    out_shape.append(jax.ShapeDtypeStruct((1, p * w_last), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, p * w_last), lambda i, t, j: (0, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
     out_specs.append(pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
@@ -589,11 +680,13 @@ def mlp_pairwise_sums_packed_bwd(
         jax.ShapeDtypeStruct((n_blk_i, nt, m_pad, w0), jnp.float32)
     )
     out_specs.append(
-        pl.BlockSpec((1, 1, bj, w0), lambda i, t, j: (i, t, j, 0))
+        pl.BlockSpec((1, 1, cell_m, w0), lambda i, t, j: (i, t, j, 0))
     )
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_m, w_last, act_name, compute_dtype),
+        functools.partial(
+            _bwd_kernel, n_m, w_last, w0, p, act_name, compute_dtype
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -602,22 +695,14 @@ def mlp_pairwise_sums_packed_bwd(
         interpret=interpret or _INTERPRET,
     )(*args)
 
-    # unpack: sum the P diagonal blocks of each packed weight grad
+    # fold the slot-diagonal packed accumulators back to model shapes
     mids_m_bar = []
     for k, (W, b) in enumerate(mids_m):
-        wp = outs[2 * k]
-        win, wout = W.shape
-        wbar = sum(
-            wp[s * win : (s + 1) * win, s * wout : (s + 1) * wout]
-            for s in range(P)
-        )
-        bbar = outs[2 * k + 1][0, : b.shape[0]]  # slot 0 carries the bias
+        wbar = _diag_blocks_sum(outs[2 * k], W.shape[0], W.shape[1], p)
+        bbar = _fold_slots(outs[2 * k + 1], b.shape[0], p).reshape(-1)
         mids_m_bar.append((wbar, bbar))
-    mbar2 = outs[2 * n_m]
-    M_bar = (
-        mbar2[:w_last, :w_last] + mbar2[w_last:, w_last:]
-    )  # L1^T g + L2^T gp diagonal blocks
-    u_bar = outs[2 * n_m + 1].reshape(-1)
+    M_bar = _diag_blocks_sum(outs[2 * n_m], w_last, w_last, p)
+    u_bar = _fold_slots(outs[2 * n_m + 1], w_last, p).reshape(-1)
     ax_bar = outs[2 * n_m + 2][:, :n]
     av_bar = outs[2 * n_m + 3][:, :n]
     ar_bar = jnp.sum(outs[2 * n_m + 4], axis=0)[:, :m]
