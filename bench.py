@@ -484,12 +484,16 @@ def main():
     # (measured 2.8x slower grad on-chip) — opt-in, its compile+run cost
     # never changes the verdict.
     try:
-        mp_rate, mp_windows, _ = bench_mlp_pairwise_step()
+        # `--mlp-packed` routes the row through the ref-slot lane-packed v2
+        # kernels (ops/pallas/pairwise_packed.py) instead of the v1 default
+        mp_pallas = "packed" if "--mlp-packed" in sys.argv else "auto"
+        mp_rate, mp_windows, _ = bench_mlp_pairwise_step(pallas=mp_pallas)
         result["mlp_pairwise"] = {
             "metric": "KMV non-parametric MLP pairwise step (7x2000, Pallas fwd+bwd)",
             "steps_per_sec": round(mp_rate, 3),
             "steps_per_sec_windows": mp_windows,
             "ms_per_step": round(1e3 / mp_rate, 2),
+            "pallas_mode": mp_pallas,
         }
         if "--mlp-jnp" in sys.argv:
             jr, _, _ = bench_mlp_pairwise_step(
