@@ -219,12 +219,30 @@ def _fwd_kernel(
     phi_l = gf * Mg + gf * u  # [R, p*w_last]
     d2phi_l = 2.0 * gpf * Mgp + 2.0 * gqf * Mg + gqf * u
 
-    # masked per-(row, slot) reduction to [bj, bi] then [1, bi]
-    mkw = _slot_mask(mk, w_last, bj, p)[:, None, :]  # [bj, 1, p*w]
-    val2 = jnp.sum(phi_l.reshape(bj, bi, p * w_last) * mkw, axis=-1)
-    hess2 = jnp.sum(d2phi_l.reshape(bj, bi, p * w_last) * mkw, axis=-1)
-    val_row = jnp.sum(val2, axis=0, keepdims=True)  # [1, bi]
-    hess_row = jnp.sum(hess2, axis=0, keepdims=True)
+    # Masked reductions, all 2-D.  Mosaic rejects the natural 3-D form
+    # (sum over a [bj, bi, p*w] view weighted by a broadcast [bj, 1, p*w]
+    # mask) with an "invalid relayout: replicated non-singleton dimension"
+    # error — the broadcast coefficient carries a replicated layout the
+    # reduce cannot consume.  Instead the slot mask enters as one MXU
+    # product (erow [R, bj] @ slot-mask [bj, p*w]) and the strided
+    # row-group sums run as dot_general contractions over the R axis.
+    f32 = jnp.float32
+    erow = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
+    ).astype(f32)  # erow[r, pj] = 1 iff pair row r uses ref row pj
+    qsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
+    ).astype(f32)  # qsel[r, q] = 1 iff pair row r uses query point q
+    ct = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    mask2d = _dot(erow, _slot_mask(mk, w_last, bj, p))  # [R, p*w]
+    lane_val = jnp.sum(phi_l * mask2d, axis=1, keepdims=True)  # [R, 1]
+    lane_hess = jnp.sum(d2phi_l * mask2d, axis=1, keepdims=True)
+    val_row = ct(lane_val, qsel)  # [1, bi]
+    hess_row = ct(lane_hess, qsel)
 
     # reverse sweep to the first-layer cotangent (packed single stream)
     delta = ((2.0 * Mg + u) * d1.astype(jnp.float32)).astype(compute_dtype)
@@ -232,9 +250,9 @@ def _fwd_kernel(
         W = cd(w_refs[2 * k][...])
         delta = (_dot_t(delta, W) * a1_saved[k]).astype(compute_dtype)
 
-    mkw0 = _slot_mask(mk, w0, bj, p)[:, None, :]  # [bj, 1, p*w0]
-    dz0_m = delta.astype(jnp.float32).reshape(bj, bi, p * w0) * mkw0
-    dz0_c = _fold_slots(jnp.sum(dz0_m, axis=0), w0, p)  # [bi, w0]
+    mask2d0 = _dot(erow, _slot_mask(mk, w0, bj, p))  # [R, p*w0]
+    dz0_f = _fold_slots(delta.astype(f32) * mask2d0, w0, p)  # [R, w0]
+    dz0_c = ct(qsel, dz0_f)  # [bi, w0]
 
     nt_b = val_ref.shape[0]
     sel = (
@@ -445,33 +463,50 @@ def _bwd_kernel(
     u = u_ref[...].astype(jnp.float32)
     two_mg_u = 2.0 * Mg + u
 
-    # per-row (g_val/g_hess) and per-(row, slot) mask weights on the 3-D
-    # view (no [R, 1] column reshapes)
+    # Per-row (g_val/g_hess) and per-(row, slot) mask weights, all 2-D.
+    # The natural 3-D form (a [bj, 1, p*w] slot-mask broadcast against the
+    # [bj, bi, p*w] view) is the layout Mosaic rejects in the forward
+    # kernel ("invalid relayout: replicated non-singleton dimension"), so
+    # the slot mask enters as one MXU product (erow @ slot-mask -> [R, wl])
+    # and the per-query coefficients as native [R, 1] columns from a qsel
+    # contraction (no lane-major column reshapes).
+    f32 = jnp.float32
     wl = p * w_last
-    gv3 = gv[:, :, None]  # [1, bi, 1]
-    gh3 = gh[:, :, None]
-    mkw3 = _slot_mask(mk, w_last, bj, p)[:, None, :]  # [bj, 1, p*w]
+    erow = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
+    ).astype(f32)  # erow[r, pj] = 1 iff pair row r uses ref row pj
+    qsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
+    ).astype(f32)  # qsel[r, q] = 1 iff pair row r uses query point q
+    mask2d = _dot(erow, _slot_mask(mk, w_last, bj, p))  # [R, wl]
+    rowc = lambda row: jax.lax.dot_general(  # [1, bi] -> [R, 1]
+        qsel, row, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    gv_r = rowc(gv)
+    gh_r = rowc(gh)
 
-    def wrow(t_, coef):  # [R, wl] * ([bj,1,wl] or [1,bi,1]) weights, f32
-        return (t_.reshape(bj, bi, wl) * coef * mkw3).reshape(R, wl)
+    def wrow(t_, coef_r=None):  # [R, wl] * [R, 1] * mask, f32
+        w = t_ * mask2d
+        return w if coef_r is None else w * coef_r
 
     gf = g.astype(jnp.float32)
     gpf = gp.astype(jnp.float32)
     gqf = gq.astype(jnp.float32)
     gsf = gs.astype(jnp.float32)
-    one = jnp.ones((1, bi, 1), jnp.float32)
 
     # head cotangents at the g level (module docstring math):
     #   S = mk*(gv*Phi + gh*d2Phi + dPhi_r),  Phi = g.Mg + u.g,
     #   d2Phi = 2 gp.Mgp + 2 gq.Mg + u.gq,    dPhi_r = (2Mg+u).gs
-    gbar = wrow(two_mg_u, gv3) + wrow(2.0 * Mgq, gh3) + wrow(2.0 * Mgr, one)
-    gpbar = wrow(4.0 * Mgp, gh3)
-    gqbar = wrow(two_mg_u, gh3)
-    gsbar = wrow(two_mg_u, one)
+    gbar = wrow(two_mg_u, gv_r) + wrow(2.0 * Mgq, gh_r) + wrow(2.0 * Mgr)
+    gpbar = wrow(4.0 * Mgp, gh_r)
+    gqbar = wrow(two_mg_u, gh_r)
+    gsbar = wrow(two_mg_u)
 
     # Mbar = L1^T g + L2^T gp (slot-diagonal blocks; wrapper folds slots)
-    L1 = wrow(gf, gv3) + wrow(2.0 * gqf, gh3) + wrow(2.0 * gsf, one)
-    L2 = wrow(2.0 * gpf, gh3)
+    L1 = wrow(gf, gv_r) + wrow(2.0 * gqf, gh_r) + wrow(2.0 * gsf)
+    L2 = wrow(2.0 * gpf, gh_r)
     mbar_c = jax.lax.dot_general(
         L1.astype(compute_dtype), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -480,7 +515,7 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # [p*w, p*w]
     ubar_c = jnp.sum(
-        wrow(gf, gv3) + wrow(gqf, gh3) + wrow(gsf, one),
+        wrow(gf, gv_r) + wrow(gqf, gh_r) + wrow(gsf),
         axis=0,
         keepdims=True,
     )  # [1, p*w]
