@@ -127,39 +127,118 @@ def _diag_blocks_sum(Wp, win: int, wout: int, p: int):
     return out
 
 
-def _slot_pack_refs(arb, w0: int, bj: int, p: int):
-    """[p*bj, w0] ref rows -> [bj, p*w0] lane-slotted (slot s = rows
-    s*bj..(s+1)*bj)."""
-    return jnp.concatenate(
-        [arb[s * bj : (s + 1) * bj] for s in range(p)], axis=1
+# ---- Mosaic-safe in-kernel slot movement -----------------------------------
+# Mosaic rejects two natural forms of slot packing inside kernels:
+#   * concats whose inputs are strided sub-slices of one vector (both the
+#     lane-axis concat of sublane slices in _slot_pack_refs/_slot_mask and
+#     the sublane-axis concat of unaligned lane slices in the old ar-grad
+#     unpack) — "result/input offset mismatch on non-concat dimension";
+#   * reductions over 3-D views against broadcast coefficients — "invalid
+#     relayout: non-singleton logical dimension is replicated".
+# The helpers below express every slot move as iota-built 0/1 selection
+# matrices consumed by plain 2-D dot_generals (MXU row-issues on tiny
+# matrices, once per grid cell).  The XLA-side wrappers keep using the
+# concat helpers above — only kernel bodies route through these.
+
+
+def _ct0(a, b):
+    """Contract axis 0: a [k, i], b [k, j] -> [i, j] (f32 accumulate)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
-def _slot_mask(mk, w: int, bj: int, p: int):
-    """[p*bj, 1] mask column -> [bj, p*w] lane-replicated at width w."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(mk[s * bj : (s + 1) * bj], (bj, w)) for s in range(p)],
-        axis=1,
+def _ct1(a, b):
+    """Contract last axes: a [i, k], b [j, k] -> [i, j] (f32 accumulate)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
-def _pair_rows_packed(axb, arb_p, avb, w0, bj, bi, p, compute_dtype):
-    """Packed first-layer pair rows: z[r, s*w0:(s+1)*w0] = ax_q - ar_{s,pj}
-    for row r = pj*bi + q (ref-major rows, exactly v1's ordering within
-    each slot).  Reshapes run in f32 (Mosaic rejects 16-bit shape casts)."""
+def _dotf(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _rowsel_mat(s: int, bj: int, p: int):
+    """[bj, p*bj] with R[j, r] = 1 iff r == s*bj + j."""
+    j_ = jax.lax.broadcasted_iota(jnp.int32, (bj, p * bj), 0)
+    r_ = jax.lax.broadcasted_iota(jnp.int32, (bj, p * bj), 1)
+    return (r_ == s * bj + j_).astype(jnp.float32)
+
+
+def _lanesel_mat(s: int, w: int, p: int):
+    """[w, p*w] with C[c, l] = 1 iff l == s*w + c."""
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 0)
+    l_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 1)
+    return (l_ == s * w + c_).astype(jnp.float32)
+
+
+def _tile_mat(w: int, p: int):
+    """[w, p*w] with T[c, l] = 1 iff l % w == c; a @ T tiles lanes."""
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 0)
+    l_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 1)
+    return (l_ % w == c_).astype(jnp.float32)
+
+
+def _fold_mat(w: int, p: int):
+    """[p*w, w] with F[l, c] = 1 iff l % w == c; a @ F sums slots."""
+    l_ = jax.lax.broadcasted_iota(jnp.int32, (p * w, w), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (p * w, w), 1)
+    return (l_ % w == c_).astype(jnp.float32)
+
+
+def _pack_rows_to_lanes(a, w: int, bj: int, p: int):
+    """[p*bj, w] -> [bj, p*w], slot s = rows s*bj.. -> lanes s*w.. (f32)."""
+    a = a.astype(jnp.float32)
+    out = None
+    for s in range(p):
+        term = _dotf(_dotf(_rowsel_mat(s, bj, p), a), _lanesel_mat(s, w, p))
+        out = term if out is None else out + term
+    return out
+
+
+def _unpack_lanes_to_rows(a, w: int, bj: int, p: int):
+    """[bj, p*w] -> [p*bj, w], inverse of _pack_rows_to_lanes (f32)."""
+    a = a.astype(jnp.float32)
+    out = None
+    for s in range(p):
+        term = _ct1(_ct0(_rowsel_mat(s, bj, p), a), _lanesel_mat(s, w, p))
+        out = term if out is None else out + term
+    return out
+
+
+def _slot_mask_mm(mk, w: int, bj: int, p: int):
+    """Mosaic-safe _slot_mask: [p*bj, 1] -> [bj, p*w]."""
+    return _pack_rows_to_lanes(jnp.broadcast_to(mk, (mk.shape[0], w)), w, bj, p)
+
+
+def _row_maps(R: int, bi: int, bj: int):
+    """erow [R, bj] (pair row -> ref row) and qsel [R, bi] (pair row ->
+    query point) selection matrices for ref-major rows r = pj*bi + q."""
+    erow = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
+    ).astype(jnp.float32)
+    qsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
+    ).astype(jnp.float32)
+    return erow, qsel
+
+
+def _pair_rows_packed_mm(axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype):
+    """Packed first-layer pair rows via selection matmuls (Mosaic-safe):
+    z[r, s*w0:(s+1)*w0] = ax_q - ar_{s,pj} for ref-major row r = pj*bi + q,
+    dz the lane-tiled av rows."""
     f = jnp.float32
-    axt = _tile_lanes(axb.astype(f), p)  # [bi, p*w0]
-    avt = _tile_lanes(avb.astype(f), p)
-    z = (
-        (axt[None, :, :] - arb_p.astype(f)[:, None, :])
-        .reshape(bj * bi, p * w0)
-        .astype(compute_dtype)
-    )
-    dz = (
-        jnp.broadcast_to(avt[None, :, :], (bj, bi, p * w0))
-        .reshape(bj * bi, p * w0)
-        .astype(compute_dtype)
-    )
+    tm = _tile_mat(w0, p)
+    axt = _dotf(axb.astype(f), tm)  # [bi, p*w0]
+    avt = _dotf(avb.astype(f), tm)
+    arp = _pack_rows_to_lanes(arb, w0, bj, p)  # [bj, p*w0]
+    z = (_dotf(qsel, axt) - _dotf(erow, arp)).astype(compute_dtype)
+    dz = _dotf(qsel, avt).astype(compute_dtype)
     return z, dz
 
 
@@ -189,8 +268,10 @@ def _fwd_kernel(
     bj = arb.shape[0] // p
     R = bj * bi
 
-    arp = _slot_pack_refs(arb, w0, bj, p)  # [bj, p*w0]
-    z, dz = _pair_rows_packed(axb, arp, avb, w0, bj, bi, p, compute_dtype)
+    erow, qsel = _row_maps(R, bi, bj)
+    z, dz = _pair_rows_packed_mm(
+        axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype
+    )
     d2z = None  # exactly zero at the first layer (linear in y)
 
     # hidden stack — v1's per-stream algebra on full-width packed lanes
@@ -219,30 +300,16 @@ def _fwd_kernel(
     phi_l = gf * Mg + gf * u  # [R, p*w_last]
     d2phi_l = 2.0 * gpf * Mgp + 2.0 * gqf * Mg + gqf * u
 
-    # Masked reductions, all 2-D.  Mosaic rejects the natural 3-D form
-    # (sum over a [bj, bi, p*w] view weighted by a broadcast [bj, 1, p*w]
-    # mask) with an "invalid relayout: replicated non-singleton dimension"
-    # error — the broadcast coefficient carries a replicated layout the
-    # reduce cannot consume.  Instead the slot mask enters as one MXU
-    # product (erow [R, bj] @ slot-mask [bj, p*w]) and the strided
-    # row-group sums run as dot_general contractions over the R axis.
+    # Masked reductions, all 2-D (see the Mosaic-safe helper block for the
+    # two rejected natural forms).  The slot mask enters as selection
+    # matmuls and the strided row-group sums run as dot_general
+    # contractions over the R axis.
     f32 = jnp.float32
-    erow = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
-    ).astype(f32)  # erow[r, pj] = 1 iff pair row r uses ref row pj
-    qsel = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
-    ).astype(f32)  # qsel[r, q] = 1 iff pair row r uses query point q
-    ct = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    mask2d = _dot(erow, _slot_mask(mk, w_last, bj, p))  # [R, p*w]
+    mask2d = _dotf(erow, _slot_mask_mm(mk, w_last, bj, p))  # [R, p*w]
     lane_val = jnp.sum(phi_l * mask2d, axis=1, keepdims=True)  # [R, 1]
     lane_hess = jnp.sum(d2phi_l * mask2d, axis=1, keepdims=True)
-    val_row = ct(lane_val, qsel)  # [1, bi]
-    hess_row = ct(lane_hess, qsel)
+    val_row = _ct0(lane_val, qsel)  # [1, bi]
+    hess_row = _ct0(lane_hess, qsel)
 
     # reverse sweep to the first-layer cotangent (packed single stream)
     delta = ((2.0 * Mg + u) * d1.astype(jnp.float32)).astype(compute_dtype)
@@ -250,9 +317,9 @@ def _fwd_kernel(
         W = cd(w_refs[2 * k][...])
         delta = (_dot_t(delta, W) * a1_saved[k]).astype(compute_dtype)
 
-    mask2d0 = _dot(erow, _slot_mask(mk, w0, bj, p))  # [R, p*w0]
-    dz0_f = _fold_slots(delta.astype(f32) * mask2d0, w0, p)  # [R, w0]
-    dz0_c = ct(qsel, dz0_f)  # [bi, w0]
+    mask2d0 = _dotf(erow, _slot_mask_mm(mk, w0, bj, p))  # [R, p*w0]
+    dz0_f = _dotf(delta.astype(f32) * mask2d0, _fold_mat(w0, p))  # [R, w0]
+    dz0_c = _ct0(qsel, dz0_f)  # [bi, w0]
 
     nt_b = val_ref.shape[0]
     sel = (
@@ -424,15 +491,13 @@ def _bwd_kernel(
     gh = jnp.sum(sel * ghess_ref[...], axis=0, keepdims=True)
     gr = gdz0_ref[0]  # [bi, w0]
 
-    arp = _slot_pack_refs(arb, w0, bj, p)
-    z, ps = _pair_rows_packed(axb, arp, avb, w0, bj, bi, p, compute_dtype)
-    q = None  # exactly zero at z0
-    grt = _tile_lanes(gr.astype(jnp.float32), p)  # [bi, p*w0]
-    r = (
-        jnp.broadcast_to(grt[None, :, :], (bj, bi, p * w0))
-        .reshape(R, p * w0)
-        .astype(compute_dtype)
+    erow, qsel = _row_maps(R, bi, bj)
+    z, ps = _pair_rows_packed_mm(
+        axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype
     )
+    q = None  # exactly zero at z0
+    grt = _dotf(gr.astype(jnp.float32), _tile_mat(w0, p))  # [bi, p*w0]
+    r = _dotf(qsel, grt).astype(compute_dtype)  # [R, p*w0]
 
     saved = []
     for k in range(n_m):
@@ -463,29 +528,15 @@ def _bwd_kernel(
     u = u_ref[...].astype(jnp.float32)
     two_mg_u = 2.0 * Mg + u
 
-    # Per-row (g_val/g_hess) and per-(row, slot) mask weights, all 2-D.
-    # The natural 3-D form (a [bj, 1, p*w] slot-mask broadcast against the
-    # [bj, bi, p*w] view) is the layout Mosaic rejects in the forward
-    # kernel ("invalid relayout: replicated non-singleton dimension"), so
-    # the slot mask enters as one MXU product (erow @ slot-mask -> [R, wl])
-    # and the per-query coefficients as native [R, 1] columns from a qsel
-    # contraction (no lane-major column reshapes).
+    # Per-row (g_val/g_hess) and per-(row, slot) mask weights, all 2-D
+    # (see the Mosaic-safe helper block): the slot mask enters via
+    # selection matmuls and the per-query coefficients as native [R, 1]
+    # columns from a qsel contraction (no lane-major column reshapes).
     f32 = jnp.float32
     wl = p * w_last
-    erow = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
-    ).astype(f32)  # erow[r, pj] = 1 iff pair row r uses ref row pj
-    qsel = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
-    ).astype(f32)  # qsel[r, q] = 1 iff pair row r uses query point q
-    mask2d = _dot(erow, _slot_mask(mk, w_last, bj, p))  # [R, wl]
-    rowc = lambda row: jax.lax.dot_general(  # [1, bi] -> [R, 1]
-        qsel, row, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )
-    gv_r = rowc(gv)
-    gh_r = rowc(gh)
+    mask2d = _dotf(erow, _slot_mask_mm(mk, w_last, bj, p))  # [R, wl]
+    gv_r = _ct1(qsel, gv)  # [R, 1]
+    gh_r = _ct1(qsel, gh)
 
     def wrow(t_, coef_r=None):  # [R, wl] * [R, 1] * mask, f32
         w = t_ * mask2d
@@ -589,18 +640,16 @@ def _bwd_kernel(
         rbar = (hrbar * a1).astype(compute_dtype)
         zbar = zbar_new.astype(compute_dtype)
 
-    # z0-level cotangents -> ax/av accumulators and the ar partial
+    # z0-level cotangents -> ax/av accumulators and the ar partial, all as
+    # qsel/erow contractions + selection-matmul slot moves (Mosaic-safe).
     z0bar = zbar.astype(jnp.float32)  # [R, p*w0]
     p0bar = pbar.astype(jnp.float32)
-    z0f = _fold_slots(z0bar, w0, p).reshape(bj, bi, w0)
-    p0f = _fold_slots(p0bar, w0, p).reshape(bj, bi, w0)
-    ax_c = jnp.sum(z0f, axis=0)  # [bi, w0]
-    av_c = jnp.sum(p0f, axis=0)
+    fm0 = _fold_mat(w0, p)
+    ax_c = _ct0(qsel, _dotf(z0bar, fm0))  # [bi, w0]
+    av_c = _ct0(qsel, _dotf(p0bar, fm0))
     # ar grads per (slot, row): un-pack lanes back to [p*bj, w0] rows
-    zsum = jnp.sum(z0bar.reshape(bj, bi, p * w0), axis=1)  # [bj, p*w0]
-    ar_c = -jnp.concatenate(
-        [zsum[:, s * w0 : (s + 1) * w0] for s in range(p)], axis=0
-    )  # [p*bj, w0]
+    zsum = _ct0(erow, z0bar)  # [bj, p*w0]
+    ar_c = -_unpack_lanes_to_rows(zsum, w0, bj, p)  # [p*bj, w0]
 
     @pl.when(j == 0)
     def _():
