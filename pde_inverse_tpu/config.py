@@ -83,6 +83,16 @@ class PDEInstanceConfig:
     # threads the weights through both expectation layers of its
     # collapse paths (quadratic closed-form and fourier-kernel).
     init_broaden: float = 1.0
+    # Anneal the tail-boost dose: cosine-decay the broadening factor from
+    # init_broaden at step 0 to exactly 1.0 (unweighted sampling) at this
+    # many steps, as a traced per-step scalar (jit-stable, like
+    # kmv_field_reg_decay_steps).  The importance weights are exact at
+    # every s, so the estimator stays unbiased at every step — the
+    # schedule buys the measured early-phase tail-coverage gain of a high
+    # dose without its late-phase weight-variance cost (the 7x2000/15k
+    # dose inversion, README "tail-boost dose-response").  0 = constant
+    # dose.  Exact-law instances (KFP-OU / KMV grid_time) only.
+    init_broaden_decay_steps: int = 0
     n_steps: int = 100
     sample_initial_size: int = 500_000
     sample_terminal_size: int = 200_000

@@ -209,9 +209,14 @@ class ConsistencyBased(Method):
         elif boundary is not None:
             # chunk-cadence boundary refresh: reuse the chunk's boundary
             # batch, resample only the path (solver.train.boundary_per_chunk)
-            data = {**boundary, **self.sample_path(rng_sample)}
+            data = {
+                **boundary,
+                **self.sample_path(rng_sample, broaden_s=self._broaden_s(step)),
+            }
         else:
-            data = self.sample_data(rng_sample, dataset=dataset)
+            data = self.sample_data(
+                rng_sample, dataset=dataset, broaden_s=self._broaden_s(step)
+            )
         kwargs = {}
         if self.cfg.pde_instance.name == "Kinetic-Fokker-Planck":
             from pde_inverse_tpu.losses import fused_pointwise as fp
@@ -333,8 +338,10 @@ class ConsistencyBased(Method):
 
     # -- data policy -----------------------------------------------------------
 
-    def sample_data(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
-        data = self._sample_data_unsharded(rng, dataset)
+    def sample_data(
+        self, rng, dataset=None, broaden_s=None
+    ) -> Dict[str, jnp.ndarray]:
+        data = self._sample_data_unsharded(rng, dataset, broaden_s=broaden_s)
         if self.mesh_spec is not None:
             from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 
@@ -358,11 +365,11 @@ class ConsistencyBased(Method):
             data = shard_tree_batches(data, self.mesh_spec)
         return data
 
-    def sample_path(self, rng) -> Dict[str, jnp.ndarray]:
+    def sample_path(self, rng, broaden_s=None) -> Dict[str, jnp.ndarray]:
         """Path-only per-step batch, complementing sample_boundary (the
         online key layout is shared with sample_data by construction —
         both compose the same _boundary/_path helpers)."""
-        data = self._path_unsharded(rng)
+        data = self._path_unsharded(rng, broaden_s=broaden_s)
         if self.mesh_spec is not None:
             from pde_inverse_tpu.parallel.mesh import shard_tree_batches
 
@@ -399,7 +406,7 @@ class ConsistencyBased(Method):
             return {"initial": initial, "terminal": terminal}
         return None
 
-    def _path_unsharded(self, rng):
+    def _path_unsharded(self, rng, broaden_s=None):
         inst = self.pde_instance
         tr = self.cfg.solver.train
         _, _, rng_0T = jax.random.split(rng, 3)
@@ -411,7 +418,9 @@ class ConsistencyBased(Method):
             )
             taus = inst.get_time_sample_ground_truth(rng_0T, spec)
             if self._tail_boost():
-                out = inst.sample_ground_truth_weighted(rng_0T, spec)
+                out = inst.sample_ground_truth_weighted(
+                    rng_0T, spec, s=broaden_s
+                )
                 return {**out, "tau_0T": taus}
             return {
                 "0T": inst.sample_ground_truth(rng_0T, spec),
@@ -452,7 +461,31 @@ class ConsistencyBased(Method):
             )
         return True
 
-    def _sample_data_unsharded(self, rng, dataset=None) -> Dict[str, jnp.ndarray]:
+    def _broaden_s(self, step):
+        """Annealed tail-boost dose (pde_instance.init_broaden_decay_steps
+        > 0): cosine-decay the broadening factor from init_broaden to 1.0
+        as a traced per-step scalar, mirroring the kmv_field_reg anneal.
+        Returns None (samplers fall back to the static config dose) when
+        the schedule is off, tail-boost is off, or no step is threaded
+        (eager sampling outside the trainer uses the step-0 dose)."""
+        decay = self.cfg.pde_instance.init_broaden_decay_steps
+        if decay <= 0 or step is None or not self._tail_boost():
+            return None
+        inst = self.pde_instance
+        if not hasattr(inst, "sample_ground_truth_weighted"):
+            raise ValueError(
+                "pde_instance.init_broaden_decay_steps > 0 is supported "
+                "only for exact-law instances (KFP-OU / KMV grid_time); "
+                "the SDE family's trajectory reweighting has no per-step "
+                "dose argument"
+            )
+        s0 = self.cfg.pde_instance.init_broaden
+        frac = jnp.clip(jnp.asarray(step, jnp.float32) / decay, 0.0, 1.0)
+        return 1.0 + (s0 - 1.0) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+
+    def _sample_data_unsharded(
+        self, rng, dataset=None, broaden_s=None
+    ) -> Dict[str, jnp.ndarray]:
         inst = self.pde_instance
         tr = self.cfg.solver.train
         if inst.sample_mode == "online":
@@ -463,7 +496,10 @@ class ConsistencyBased(Method):
             # tests/test_langevin.py::test_boundary_path_split_is_bitwise).
             boundary = self._boundary_unsharded(rng)
             if boundary is not None:
-                return {**boundary, **self._path_unsharded(rng)}
+                return {
+                    **boundary,
+                    **self._path_unsharded(rng, broaden_s=broaden_s),
+                }
             if inst.sample_scheme == "SDE":
                 # SDE instance without split entry points: combined call
                 _, _, rng_0T = jax.random.split(rng, 3)

@@ -138,7 +138,9 @@ class KineticFokkerPlanckOU(ProblemInstance):
             return self.distribution_time.sample(batch_size // 100, rng_t)
         return self._grid_times(rng_t, batch_size[0])
 
-    def sample_ground_truth_weighted(self, rng: jax.Array, batch_size: BatchSpec):
+    def sample_ground_truth_weighted(
+        self, rng: jax.Array, batch_size: BatchSpec, s=None
+    ):
         """Tail-boost sampling for exact-law instances
         (pde_instance.init_broaden = s > 1): grid-time samples drawn from
         the s-broadened law q_t = N(m_t, s^2 P_t) with exact per-(sample,
@@ -153,6 +155,10 @@ class KineticFokkerPlanckOU(ProblemInstance):
         sample_ground_truth — get_time_sample_ground_truth stays aligned,
         and s = 1 reproduces the unweighted samples bitwise.  grid_time
         only (the random-time mode has no batch layout for weights).
+        The optional ``s`` argument overrides the config dose with a
+        (possibly traced) per-step scalar — the annealed-dose schedule
+        (pde_instance.init_broaden_decay_steps); the weight formula is
+        exact at every s, so the estimator stays unbiased step-by-step.
         Returns {"0T" [n*nt, D], "w_0T" [n*nt]} flat and aligned.
         Reference analogue: none (it samples the true law only,
         …OU.py:158-190)."""
@@ -161,7 +167,8 @@ class KineticFokkerPlanckOU(ProblemInstance):
                 "pde_instance.init_broaden needs grid_time sampling for "
                 "exact-law instances (solver.train.sample_mode=grid_time)"
             )
-        s = self.cfg.pde_instance.init_broaden
+        if s is None:
+            s = self.cfg.pde_instance.init_broaden
         n_times, per_time = batch_size
         rng_t, rng_x = jax.random.split(rng)
         ts = self._grid_times(rng_t, n_times)

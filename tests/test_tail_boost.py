@@ -469,3 +469,101 @@ class TestExactLawKMVLoss:
         params = net.init(jax.random.PRNGKey(0), jnp.zeros(inst.dim))
         with pytest.raises(ValueError, match="collapse"):
             kmv.value_and_grad_fn(net.apply, params, data, rng, inst)
+
+
+class TestAnnealedDose:
+    """pde_instance.init_broaden_decay_steps: cosine-anneal the dose s ->
+    1.0 as a traced per-step scalar.  The weights are exact at every s, so
+    each step's estimator is individually unbiased — the schedule only
+    moves where the sampling variance is spent (early tail coverage,
+    late unweighted bulk)."""
+
+    def _quad_setup(self, rng, *extra):
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg = _kmv_cfg(*extra)
+        inst = KineticMcKeanVlasovQuadratic(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        net, params = method.create_model_fn()
+        return inst, net, params, method
+
+    def test_explicit_s_matches_config_s_bitwise(self, rng):
+        from pde_inverse_tpu.problems import KineticMcKeanVlasovQuadratic
+
+        cfg_a = _kmv_cfg("pde_instance.init_broaden=1.3")
+        cfg_b = _kmv_cfg("pde_instance.init_broaden=1.7")
+        rng_b = jax.random.fold_in(rng, 11)
+        out_a = KineticMcKeanVlasovQuadratic(
+            cfg_a, rng
+        ).sample_ground_truth_weighted(rng_b, (3, 24))
+        out_b = KineticMcKeanVlasovQuadratic(
+            cfg_b, rng
+        ).sample_ground_truth_weighted(rng_b, (3, 24), s=1.3)
+        np.testing.assert_array_equal(
+            np.asarray(out_a["0T"]), np.asarray(out_b["0T"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a["w_0T"]), np.asarray(out_b["w_0T"])
+        )
+
+    def test_schedule_endpoints_and_monotonicity(self, rng):
+        _, _, _, method = self._quad_setup(
+            rng,
+            "pde_instance.init_broaden=1.5",
+            "pde_instance.init_broaden_decay_steps=100",
+        )
+        s = [float(method._broaden_s(t)) for t in (0, 25, 50, 75, 100, 200)]
+        np.testing.assert_allclose(s[0], 1.5, rtol=1e-6)
+        assert s[-2] == 1.0 and s[-1] == 1.0  # exactly unweighted at decay
+        assert all(a >= b for a, b in zip(s, s[1:]))  # monotone decay
+        # off-switches return None (samplers use the static config dose)
+        assert method._broaden_s(None) is None
+        _, _, _, m_off = self._quad_setup(rng, "pde_instance.init_broaden=1.5")
+        assert m_off._broaden_s(0) is None
+
+    def test_late_step_weights_are_unit(self, rng):
+        """Past the decay horizon the sampler must reproduce the
+        unweighted batch: w == 1 and samples equal the plain sampler's."""
+        inst, net, params, method = self._quad_setup(
+            rng,
+            "pde_instance.init_broaden=1.5",
+            "pde_instance.init_broaden_decay_steps=10",
+        )
+        rng_b = jax.random.fold_in(rng, 12)
+        data = jax.jit(
+            lambda r, t: method.sample_data(r, broaden_s=method._broaden_s(t))
+        )(rng_b, 50)
+        np.testing.assert_allclose(
+            np.asarray(data["w_0T"]), np.ones(data["0T"].shape[0]), rtol=1e-6
+        )
+
+    def test_traced_through_value_and_grad(self, rng):
+        """The step-dependent dose must trace through the jitted training
+        objective: losses at step 0 (full dose) and past the horizon
+        (unit dose) both finite, gradients well-defined."""
+        from functools import partial
+
+        _, net, params, method = self._quad_setup(
+            rng,
+            "pde_instance.init_broaden=1.5",
+            "pde_instance.init_broaden_decay_steps=20",
+        )
+        vg = jax.jit(
+            partial(method.value_and_grad_fn, net.apply, params),
+            static_argnames=(),
+        )
+        for t in (0, 40):
+            out = vg(jax.random.fold_in(rng, 13), step=jnp.asarray(t))
+            assert np.isfinite(float(out["loss"]))
+
+    def test_sde_family_rejects_schedule(self, rng):
+        cfg = make_cfg(
+            [
+                "pde_instance.init_broaden=1.5",
+                "pde_instance.init_broaden_decay_steps=100",
+            ]
+        )
+        inst = KineticFokkerPlanckGMM(cfg, rng)
+        method = ConsistencyBased(pde_instance=inst, cfg=cfg, rng=rng)
+        with pytest.raises(ValueError, match="exact-law"):
+            method._broaden_s(0)
