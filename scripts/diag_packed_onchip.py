@@ -36,12 +36,21 @@ R = BJ * BI
 
 
 def run_kernel(body, out_shapes, *args, interpret=False):
+    # Every kernel gets a live dummy input folded into its first output:
+    # zero-input (pure-constant) pallas programs hang the tunneled
+    # backend's remote execute (observed twice, r5 diag).
+    def wrapped(d_ref, *refs):
+        body(*refs)
+        out0 = refs[len(args)]
+        out0[...] += jnp.full(out0.shape, d_ref[0, 0], jnp.float32)
+
     f = pl.pallas_call(
-        body,
+        wrapped,
         out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in out_shapes],
         interpret=interpret,
     )
-    return [np.asarray(o) for o in f(*args)]
+    dummy = jnp.zeros((8, 128), jnp.float32)
+    return [np.asarray(o) for o in f(dummy, *args)]
 
 
 def check(name, got, want, tol=1e-5):
