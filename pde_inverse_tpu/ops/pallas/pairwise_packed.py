@@ -127,150 +127,101 @@ def _diag_blocks_sum(Wp, win: int, wout: int, p: int):
     return out
 
 
-# ---- Mosaic-safe in-kernel slot movement -----------------------------------
-# Mosaic rejects two natural forms of slot packing inside kernels:
-#   * concats whose inputs are strided sub-slices of one vector (both the
-#     lane-axis concat of sublane slices in _slot_pack_refs/_slot_mask and
-#     the sublane-axis concat of unaligned lane slices in the old ar-grad
-#     unpack) — "result/input offset mismatch on non-concat dimension";
-#   * reductions over 3-D views against broadcast coefficients — "invalid
-#     relayout: non-singleton logical dimension is replicated".
-# The helpers below express every slot move as iota-built 0/1 selection
-# matrices consumed by plain 2-D dot_generals (MXU row-issues on tiny
-# matrices, once per grid cell).  The XLA-side wrappers keep using the
-# concat helpers above — only kernel bodies route through these.
+# ---- Slot movement policy ---------------------------------------------------
+# ALL slot packing/unpacking happens in the XLA wrappers (reshape +
+# transpose on host-visible arrays), NEVER inside kernel bodies.  Two
+# rounds of on-chip failures force this:
+#   * Mosaic REJECTS the natural in-kernel forms — strided-slice concats
+#     ("result/input offset mismatch on non-concat dimension") and
+#     reductions against [bj, 1, p*w] broadcast masks ("invalid relayout:
+#     non-singleton logical dimension is replicated");
+#   * the iota-selection-matmul rewrite COMPILED but produced wrong
+#     gradients on hardware (cmp512 r5: rel 5.6e-1 on-chip vs 4.6e-6 in
+#     interpret mode at the identical geometry) — a silent lowering
+#     miscompare this module cannot carry.
+# The kernels therefore consume PRE-PACKED blocks (ax/av lane-tiled xP,
+# ar slot-packed [bj, p*w0], masks pre-expanded per width) and emit the
+# ar gradient in the same packed layout; every op inside the kernels is
+# a form already proven on this backend by pairwise_kernel.py (3-D
+# reshapes of [R, w] to [bj, bi, w], size-1-axis broadcasts, axis-0/1/-1
+# sums, contract-dim-0/1 dot_generals, identical-input lane concats and
+# static lane slices).
 
 
-def _ct0(a, b):
-    """Contract axis 0: a [k, i], b [k, j] -> [i, j] (f32 accumulate)."""
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _pack_ref_rows(a, p: int, bj: int):
+    """[nt, nbj*p*bj, w] -> [nt, nbj, bj, p*w]: cell rows s*bj+jj land in
+    slot s of lane group s*w..(s+1)*w (XLA-side; matches the kernels'
+    ref-major pair-row order)."""
+    nt, m_pad, w = a.shape
+    nbj = m_pad // (p * bj)
+    return (
+        a.reshape(nt, nbj, p, bj, w)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nt, nbj, bj, p * w)
     )
 
 
-def _ct1(a, b):
-    """Contract last axes: a [i, k], b [j, k] -> [i, j] (f32 accumulate)."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+def _unpack_ref_rows(a, p: int, bj: int, w: int):
+    """Inverse of _pack_ref_rows: [nt, nbj, bj, p*w] -> [nt, nbj*p*bj, w]."""
+    nt, nbj = a.shape[:2]
+    return (
+        a.reshape(nt, nbj, bj, p, w)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nt, nbj * p * bj, w)
     )
 
 
-def _dotf(a, b):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
-def _rowsel_mat(s: int, bj: int, p: int):
-    """[bj, p*bj] with R[j, r] = 1 iff r == s*bj + j."""
-    j_ = jax.lax.broadcasted_iota(jnp.int32, (bj, p * bj), 0)
-    r_ = jax.lax.broadcasted_iota(jnp.int32, (bj, p * bj), 1)
-    return (r_ == s * bj + j_).astype(jnp.float32)
-
-
-def _lanesel_mat(s: int, w: int, p: int):
-    """[w, p*w] with C[c, l] = 1 iff l == s*w + c."""
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 0)
-    l_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 1)
-    return (l_ == s * w + c_).astype(jnp.float32)
-
-
-def _tile_mat(w: int, p: int):
-    """[w, p*w] with T[c, l] = 1 iff l % w == c; a @ T tiles lanes."""
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 0)
-    l_ = jax.lax.broadcasted_iota(jnp.int32, (w, p * w), 1)
-    return (l_ % w == c_).astype(jnp.float32)
-
-
-def _fold_mat(w: int, p: int):
-    """[p*w, w] with F[l, c] = 1 iff l % w == c; a @ F sums slots."""
-    l_ = jax.lax.broadcasted_iota(jnp.int32, (p * w, w), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (p * w, w), 1)
-    return (l_ % w == c_).astype(jnp.float32)
-
-
-def _pack_rows_to_lanes(a, w: int, bj: int, p: int):
-    """[p*bj, w] -> [bj, p*w], slot s = rows s*bj.. -> lanes s*w.. (f32)."""
-    a = a.astype(jnp.float32)
-    out = None
-    for s in range(p):
-        term = _dotf(_dotf(_rowsel_mat(s, bj, p), a), _lanesel_mat(s, w, p))
-        out = term if out is None else out + term
-    return out
-
-
-def _unpack_lanes_to_rows(a, w: int, bj: int, p: int):
-    """[bj, p*w] -> [p*bj, w], inverse of _pack_rows_to_lanes (f32)."""
-    a = a.astype(jnp.float32)
-    out = None
-    for s in range(p):
-        term = _ct1(_ct0(_rowsel_mat(s, bj, p), a), _lanesel_mat(s, w, p))
-        out = term if out is None else out + term
-    return out
-
-
-def _slot_mask_mm(mk, w: int, bj: int, p: int):
-    """Mosaic-safe _slot_mask: [p*bj, 1] -> [bj, p*w]."""
-    return _pack_rows_to_lanes(jnp.broadcast_to(mk, (mk.shape[0], w)), w, bj, p)
-
-
-def _row_maps(R: int, bi: int, bj: int):
-    """erow [R, bj] (pair row -> ref row) and qsel [R, bi] (pair row ->
-    query point) selection matrices for ref-major rows r = pj*bi + q."""
-    erow = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bj), 0) // bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bj), 1)
-    ).astype(jnp.float32)
-    qsel = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
-        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
-    ).astype(jnp.float32)
-    return erow, qsel
-
-
-def _pair_rows_packed_mm(axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype):
-    """Packed first-layer pair rows via selection matmuls (Mosaic-safe):
-    z[r, s*w0:(s+1)*w0] = ax_q - ar_{s,pj} for ref-major row r = pj*bi + q,
-    dz the lane-tiled av rows."""
-    f = jnp.float32
-    tm = _tile_mat(w0, p)
-    axt = _dotf(axb.astype(f), tm)  # [bi, p*w0]
-    avt = _dotf(avb.astype(f), tm)
-    arp = _pack_rows_to_lanes(arb, w0, bj, p)  # [bj, p*w0]
-    z = (_dotf(qsel, axt) - _dotf(erow, arp)).astype(compute_dtype)
-    dz = _dotf(qsel, avt).astype(compute_dtype)
-    return z, dz
+def _pack_mask(mask, p: int, bj: int, w: int):
+    """[m_pad] validity -> [nbj, bj, p*w] lane-expanded slot mask."""
+    nbj = mask.shape[0] // (p * bj)
+    mk = mask.reshape(nbj, p, bj).transpose(0, 2, 1)  # [nbj, bj, p]
+    return jnp.broadcast_to(
+        mk[:, :, :, None], (nbj, bj, p, w)
+    ).reshape(nbj, bj, p * w)
 
 
 def _fwd_kernel(
     n_m: int, w_last: int, w0: int, p: int, act_name: str, compute_dtype, *refs
 ):
     """Packed forward body.  refs layout:
-    [ax, av, ar, mask, Wblk_1, bpk_1, ..., Wblk_nm, bpk_nm, Mblk, upk,
-     out_val, out_hess, out_dz0]
-    with ax/av [1, bi, w0]; ar [1, p*bj, w0]; mask [p*bj, 1]; Wblk_k the
-    blkdiag_p mid weights, bpk/upk lane-tiled.  Grid (i, t, j) and output
-    accumulation exactly as pairwise_kernel._kernel."""
+    [axt, avt, arp, maskl, mask0, Wblk_1, bpk_1, ..., Wblk_nm, bpk_nm,
+     Mblk, upk, out_val, out_hess, out_dz0]
+    with axt/avt [1, bi, p*w0] lane-tiled, arp [1, 1, bj, p*w0]
+    slot-packed, maskl/mask0 [1, bj, p*w] lane-expanded masks — every
+    slot move pre-computed by the wrapper (module policy note).  Grid
+    (i, t, j) and output accumulation exactly as
+    pairwise_kernel._kernel."""
     act = _ACT_D012[act_name]
-    ax_ref, av_ref, ar_ref, mask_ref = refs[:4]
-    w_refs = refs[4 : 4 + 2 * n_m]
-    mblk_ref, u_ref = refs[4 + 2 * n_m : 6 + 2 * n_m]
-    val_ref, hess_ref, dz0_ref = refs[6 + 2 * n_m :]
+    ax_ref, av_ref, ar_ref, maskl_ref, mask0_ref = refs[:5]
+    w_refs = refs[5 : 5 + 2 * n_m]
+    mblk_ref, u_ref = refs[5 + 2 * n_m : 7 + 2 * n_m]
+    val_ref, hess_ref, dz0_ref = refs[7 + 2 * n_m :]
     t = pl.program_id(1)
     j = pl.program_id(2)
     cd = lambda a: a.astype(compute_dtype)
+    f32 = jnp.float32
 
-    axb = ax_ref[0]  # [bi, w0]
-    avb = av_ref[0]
-    arb = ar_ref[0]  # [p*bj, w0]
-    mk = mask_ref[...]  # [p*bj, 1]
-    bi = axb.shape[0]
-    bj = arb.shape[0] // p
+    axt = ax_ref[0]  # [bi, p*w0] lane-tiled
+    avt = av_ref[0]
+    arp = ar_ref[0, 0]  # [bj, p*w0] slot-packed
+    maskl = maskl_ref[0]  # [bj, p*w_last]
+    mask0 = mask0_ref[0]  # [bj, p*w0]
+    bi = axt.shape[0]
+    bj = arp.shape[0]
     R = bj * bi
+    pw0 = p * w0
 
-    erow, qsel = _row_maps(R, bi, bj)
-    z, dz = _pair_rows_packed_mm(
-        axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype
+    # first-layer pair rows: the v1-proven broadcast-subtract-reshape
+    # (pairwise_kernel._pair_rows) on pre-packed lanes
+    z = (
+        (axt.astype(f32)[None, :, :] - arp.astype(f32)[:, None, :])
+        .reshape(R, pw0)
+        .astype(compute_dtype)
+    )
+    dz = (
+        jnp.broadcast_to(avt.astype(f32)[None, :, :], (bj, bi, pw0))
+        .reshape(R, pw0)
+        .astype(compute_dtype)
     )
     d2z = None  # exactly zero at the first layer (linear in y)
 
@@ -300,16 +251,18 @@ def _fwd_kernel(
     phi_l = gf * Mg + gf * u  # [R, p*w_last]
     d2phi_l = 2.0 * gpf * Mgp + 2.0 * gqf * Mg + gqf * u
 
-    # Masked reductions, all 2-D (see the Mosaic-safe helper block for the
-    # two rejected natural forms).  The slot mask enters as selection
-    # matmuls and the strided row-group sums run as dot_general
-    # contractions over the R axis.
-    f32 = jnp.float32
-    mask2d = _dotf(erow, _slot_mask_mm(mk, w_last, bj, p))  # [R, p*w]
-    lane_val = jnp.sum(phi_l * mask2d, axis=1, keepdims=True)  # [R, 1]
-    lane_hess = jnp.sum(d2phi_l * mask2d, axis=1, keepdims=True)
-    val_row = _ct0(lane_val, qsel)  # [1, bi]
-    hess_row = _ct0(lane_hess, qsel)
+    # Masked reductions in v1's proven forms: the pre-expanded slot mask
+    # broadcasts [bj, p*w] -> [bj, bi, p*w] -> reshape to pair rows (the
+    # same middle-axis broadcast+reshape as the dz build), the multiply
+    # stays 2-D, and the sums run lane-axis then sublane-axis.
+    wl = p * w_last
+    mask2d = jnp.broadcast_to(
+        maskl.astype(f32)[:, None, :], (bj, bi, wl)
+    ).reshape(R, wl)
+    val2 = jnp.sum((phi_l * mask2d).reshape(bj, bi, wl), axis=-1)  # [bj, bi]
+    hess2 = jnp.sum((d2phi_l * mask2d).reshape(bj, bi, wl), axis=-1)
+    val_row = jnp.sum(val2, axis=0, keepdims=True)  # [1, bi]
+    hess_row = jnp.sum(hess2, axis=0, keepdims=True)
 
     # reverse sweep to the first-layer cotangent (packed single stream)
     delta = ((2.0 * Mg + u) * d1.astype(jnp.float32)).astype(compute_dtype)
@@ -317,9 +270,11 @@ def _fwd_kernel(
         W = cd(w_refs[2 * k][...])
         delta = (_dot_t(delta, W) * a1_saved[k]).astype(compute_dtype)
 
-    mask2d0 = _dotf(erow, _slot_mask_mm(mk, w0, bj, p))  # [R, p*w0]
-    dz0_f = _dotf(delta.astype(f32) * mask2d0, _fold_mat(w0, p))  # [R, w0]
-    dz0_c = _ct0(qsel, dz0_f)  # [bi, w0]
+    mask2d0 = jnp.broadcast_to(
+        mask0.astype(f32)[:, None, :], (bj, bi, pw0)
+    ).reshape(R, pw0)
+    dz0_f = _fold_slots(delta.astype(f32) * mask2d0, w0, p)  # [R, w0]
+    dz0_c = jnp.sum(dz0_f.reshape(bj, bi, w0), axis=0)  # [bi, w0]
 
     nt_b = val_ref.shape[0]
     sel = (
@@ -387,16 +342,23 @@ def mlp_pairwise_sums_packed(
     if m_pad != m:
         ar = jnp.pad(ar, ((0, 0), (0, m_pad - m), (0, 0)))
         mask = jnp.pad(mask, (0, m_pad - m))
-    mask2 = mask[:, None]
+
+    # all slot packing happens HERE, in XLA (module policy note)
+    axt = jnp.tile(ax, (1, 1, p))  # [nt, n_pad, p*w0] lane-tiled
+    avt = jnp.tile(av, (1, 1, p))
+    arp = _pack_ref_rows(ar, p, bj)  # [nt, nbj, bj, p*w0]
+    maskl = _pack_mask(mask, p, bj, w_last)  # [nbj, bj, p*w_last]
+    mask0 = _pack_mask(mask, p, bj, w0)  # [nbj, bj, p*w0]
 
     grid = (n_pad // bi, nt, m_pad // cell_m)
     in_specs = [
-        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
-        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),
-        pl.BlockSpec((1, cell_m, w0), lambda i, t, j: (t, j, 0)),
-        pl.BlockSpec((cell_m, 1), lambda i, t, j: (j, 0)),
+        pl.BlockSpec((1, bi, p * w0), lambda i, t, j: (t, i, 0)),
+        pl.BlockSpec((1, bi, p * w0), lambda i, t, j: (t, i, 0)),
+        pl.BlockSpec((1, 1, bj, p * w0), lambda i, t, j: (t, j, 0, 0)),
+        pl.BlockSpec((1, bj, p * w_last), lambda i, t, j: (j, 0, 0)),
+        pl.BlockSpec((1, bj, p * w0), lambda i, t, j: (j, 0, 0)),
     ]
-    args = [ax, av, ar, mask2]
+    args = [axt, avt, arp, maskl, mask0]
     for W, b in mids_m:
         Wb = _blkdiag(W, p)
         bb = _tile_lanes(b, p)[None, :]
@@ -464,7 +426,7 @@ def _bwd_kernel(
     Weight/M/u grads accumulate PACKED (slot-diagonal blocks / lane tiles);
     the wrapper folds slots."""
     act3 = _ACT_D0123[act_name]
-    ax_ref, av_ref, ar_ref, mask_ref, gval_ref, ghess_ref, gdz0_ref = refs[:7]
+    ax_ref, av_ref, ar_ref, maskl_ref, gval_ref, ghess_ref, gdz0_ref = refs[:7]
     w_refs = refs[7 : 7 + 2 * n_m]
     mblk_ref, u_ref = refs[7 + 2 * n_m : 9 + 2 * n_m]
     grad_refs = refs[9 + 2 * n_m : 9 + 4 * n_m]
@@ -475,29 +437,41 @@ def _bwd_kernel(
     j = pl.program_id(2)
     first_cell = (i == 0) & (t == 0) & (j == 0)
     cd = lambda a: a.astype(compute_dtype)
+    f32 = jnp.float32
 
-    axb = ax_ref[0]
-    avb = av_ref[0]
-    arb = ar_ref[0]  # [p*bj, w0]
-    mk = mask_ref[...]  # [p*bj, 1]
-    bi = axb.shape[0]
-    bj = arb.shape[0] // p
+    axt = ax_ref[0]  # [bi, p*w0] lane-tiled
+    avt = av_ref[0]
+    arp = ar_ref[0, 0]  # [bj, p*w0] slot-packed
+    maskl = maskl_ref[0]  # [bj, p*w_last]
+    bi = axt.shape[0]
+    bj = arp.shape[0]
     R = bj * bi
+    pw0 = p * w0
     nt_b = gval_ref.shape[0]
     sel = (
         jax.lax.broadcasted_iota(jnp.int32, (nt_b, bi), 0) == t
     ).astype(jnp.float32)
     gv = jnp.sum(sel * gval_ref[...], axis=0, keepdims=True)  # [1, bi]
     gh = jnp.sum(sel * ghess_ref[...], axis=0, keepdims=True)
-    gr = gdz0_ref[0]  # [bi, w0]
+    grt = gdz0_ref[0]  # [bi, p*w0] lane-tiled
 
-    erow, qsel = _row_maps(R, bi, bj)
-    z, ps = _pair_rows_packed_mm(
-        axb, arb, avb, w0, bj, p, erow, qsel, compute_dtype
+    # first-layer pair rows, v1's broadcast-subtract-reshape forms
+    z = (
+        (axt.astype(f32)[None, :, :] - arp.astype(f32)[:, None, :])
+        .reshape(R, pw0)
+        .astype(compute_dtype)
+    )
+    ps = (
+        jnp.broadcast_to(avt.astype(f32)[None, :, :], (bj, bi, pw0))
+        .reshape(R, pw0)
+        .astype(compute_dtype)
     )
     q = None  # exactly zero at z0
-    grt = _dotf(gr.astype(jnp.float32), _tile_mat(w0, p))  # [bi, p*w0]
-    r = _dotf(qsel, grt).astype(compute_dtype)  # [R, p*w0]
+    r = (
+        jnp.broadcast_to(grt.astype(f32)[None, :, :], (bj, bi, pw0))
+        .reshape(R, pw0)
+        .astype(compute_dtype)
+    )
 
     saved = []
     for k in range(n_m):
@@ -528,19 +502,21 @@ def _bwd_kernel(
     u = u_ref[...].astype(jnp.float32)
     two_mg_u = 2.0 * Mg + u
 
-    # Per-row (g_val/g_hess) and per-(row, slot) mask weights, all 2-D
-    # (see the Mosaic-safe helper block): the slot mask enters via
-    # selection matmuls and the per-query coefficients as native [R, 1]
-    # columns from a qsel contraction (no lane-major column reshapes).
-    f32 = jnp.float32
+    # Per-row (g_val/g_hess) and per-(row, slot) mask weights in v1's
+    # proven forms: the pre-expanded slot mask broadcasts through the
+    # middle axis (same as the ps/r builds) and multiplies in 2-D; the
+    # per-query coefficients apply on the 3-D view via [1, bi, 1]
+    # size-1-axis broadcasts (pairwise_kernel._bwd_kernel's gv3 pattern).
     wl = p * w_last
-    mask2d = _dotf(erow, _slot_mask_mm(mk, w_last, bj, p))  # [R, wl]
-    gv_r = _ct1(qsel, gv)  # [R, 1]
-    gh_r = _ct1(qsel, gh)
+    mask2d = jnp.broadcast_to(
+        maskl.astype(f32)[:, None, :], (bj, bi, wl)
+    ).reshape(R, wl)
 
-    def wrow(t_, coef_r=None):  # [R, wl] * [R, 1] * mask, f32
+    def wrow(t_, coef=None):  # t_ [R, wl] f32; coef [1, bi] or None
         w = t_ * mask2d
-        return w if coef_r is None else w * coef_r
+        if coef is None:
+            return w
+        return (w.reshape(bj, bi, wl) * coef[:, :, None]).reshape(R, wl)
 
     gf = g.astype(jnp.float32)
     gpf = gp.astype(jnp.float32)
@@ -550,14 +526,14 @@ def _bwd_kernel(
     # head cotangents at the g level (module docstring math):
     #   S = mk*(gv*Phi + gh*d2Phi + dPhi_r),  Phi = g.Mg + u.g,
     #   d2Phi = 2 gp.Mgp + 2 gq.Mg + u.gq,    dPhi_r = (2Mg+u).gs
-    gbar = wrow(two_mg_u, gv_r) + wrow(2.0 * Mgq, gh_r) + wrow(2.0 * Mgr)
-    gpbar = wrow(4.0 * Mgp, gh_r)
-    gqbar = wrow(two_mg_u, gh_r)
+    gbar = wrow(two_mg_u, gv) + wrow(2.0 * Mgq, gh) + wrow(2.0 * Mgr)
+    gpbar = wrow(4.0 * Mgp, gh)
+    gqbar = wrow(two_mg_u, gh)
     gsbar = wrow(two_mg_u)
 
     # Mbar = L1^T g + L2^T gp (slot-diagonal blocks; wrapper folds slots)
-    L1 = wrow(gf, gv_r) + wrow(2.0 * gqf, gh_r) + wrow(2.0 * gsf)
-    L2 = wrow(2.0 * gpf, gh_r)
+    L1 = wrow(gf, gv) + wrow(2.0 * gqf, gh) + wrow(2.0 * gsf)
+    L2 = wrow(2.0 * gpf, gh)
     mbar_c = jax.lax.dot_general(
         L1.astype(compute_dtype), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -566,7 +542,7 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # [p*w, p*w]
     ubar_c = jnp.sum(
-        wrow(gf, gv_r) + wrow(gqf, gh_r) + wrow(gsf),
+        wrow(gf, gv) + wrow(gqf, gh) + wrow(gsf),
         axis=0,
         keepdims=True,
     )  # [1, p*w]
@@ -640,16 +616,17 @@ def _bwd_kernel(
         rbar = (hrbar * a1).astype(compute_dtype)
         zbar = zbar_new.astype(compute_dtype)
 
-    # z0-level cotangents -> ax/av accumulators and the ar partial, all as
-    # qsel/erow contractions + selection-matmul slot moves (Mosaic-safe).
+    # z0-level cotangents -> ax/av accumulators and the ar partial, in
+    # v1's proven reductions (axis-0 and axis-1 sums on the [bj, bi, .]
+    # views; slot folds as static lane slices); the ar gradient leaves the
+    # kernel PACKED [bj, p*w0] — the wrapper unpacks in XLA.
     z0bar = zbar.astype(jnp.float32)  # [R, p*w0]
     p0bar = pbar.astype(jnp.float32)
-    fm0 = _fold_mat(w0, p)
-    ax_c = _ct0(qsel, _dotf(z0bar, fm0))  # [bi, w0]
-    av_c = _ct0(qsel, _dotf(p0bar, fm0))
-    # ar grads per (slot, row): un-pack lanes back to [p*bj, w0] rows
-    zsum = _ct0(erow, z0bar)  # [bj, p*w0]
-    ar_c = -_unpack_lanes_to_rows(zsum, w0, bj, p)  # [p*bj, w0]
+    z0f = _fold_slots(z0bar, w0, p).reshape(bj, bi, w0)
+    p0f = _fold_slots(p0bar, w0, p).reshape(bj, bi, w0)
+    ax_c = jnp.sum(z0f, axis=0)  # [bi, w0]
+    av_c = jnp.sum(p0f, axis=0)
+    ar_c = -jnp.sum(z0bar.reshape(bj, bi, pw0), axis=1)  # [bj, p*w0]
 
     @pl.when(j == 0)
     def _():
@@ -661,7 +638,7 @@ def _bwd_kernel(
         axbar_ref[0] += ax_c
         avbar_ref[0] += av_c
 
-    arbar_ref[0, 0] = ar_c  # (i, t, j) cell written exactly once
+    arbar_ref[0, 0, 0] = ar_c  # (i, t, j) cell written exactly once
 
 
 def mlp_pairwise_sums_packed_bwd(
@@ -710,20 +687,26 @@ def mlp_pairwise_sums_packed_bwd(
     if m_pad != m:
         ar = jnp.pad(ar, ((0, 0), (0, m_pad - m), (0, 0)))
         mask = jnp.pad(mask, (0, m_pad - m))
-    mask2 = mask[:, None]
     n_blk_i = n_pad // bi
+
+    # all slot packing happens HERE, in XLA (module policy note)
+    axt = jnp.tile(ax, (1, 1, p))  # [nt, n_pad, p*w0] lane-tiled
+    avt = jnp.tile(av, (1, 1, p))
+    grt = jnp.tile(g_dz0, (1, 1, p))
+    arp = _pack_ref_rows(ar, p, bj)  # [nt, nbj, bj, p*w0]
+    maskl = _pack_mask(mask, p, bj, w_last)  # [nbj, bj, p*w_last]
 
     grid = (n_blk_i, nt, m_pad // cell_m)
     in_specs = [
-        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # ax
-        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # av
-        pl.BlockSpec((1, cell_m, w0), lambda i, t, j: (t, j, 0)),  # ar
-        pl.BlockSpec((cell_m, 1), lambda i, t, j: (j, 0)),  # mask
+        pl.BlockSpec((1, bi, p * w0), lambda i, t, j: (t, i, 0)),  # axt
+        pl.BlockSpec((1, bi, p * w0), lambda i, t, j: (t, i, 0)),  # avt
+        pl.BlockSpec((1, 1, bj, p * w0), lambda i, t, j: (t, j, 0, 0)),  # arp
+        pl.BlockSpec((1, bj, p * w_last), lambda i, t, j: (j, 0, 0)),  # maskl
         pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_val (full stamps)
         pl.BlockSpec((nt, bi), lambda i, t, j: (0, i)),  # g_hess
-        pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)),  # g_dz0
+        pl.BlockSpec((1, bi, p * w0), lambda i, t, j: (t, i, 0)),  # grt
     ]
-    args = [ax, av, ar, mask2, g_val, g_hess, g_dz0]
+    args = [axt, avt, arp, maskl, g_val, g_hess, grt]
     for W, b in mids_m:
         Wb = _blkdiag(W, p)
         bb = _tile_lanes(b, p)[None, :]
@@ -760,11 +743,14 @@ def mlp_pairwise_sums_packed_bwd(
     out_specs.append(pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)))
     out_shape.append(jax.ShapeDtypeStruct((nt, n_pad, w0), jnp.float32))
     out_specs.append(pl.BlockSpec((1, bi, w0), lambda i, t, j: (t, i, 0)))
+    nbj = m_pad // cell_m
     out_shape.append(
-        jax.ShapeDtypeStruct((n_blk_i, nt, m_pad, w0), jnp.float32)
+        jax.ShapeDtypeStruct((n_blk_i, nt, nbj, bj, p * w0), jnp.float32)
     )
     out_specs.append(
-        pl.BlockSpec((1, 1, cell_m, w0), lambda i, t, j: (i, t, j, 0))
+        pl.BlockSpec(
+            (1, 1, 1, bj, p * w0), lambda i, t, j: (i, t, j, 0, 0)
+        )
     )
 
     outs = pl.pallas_call(
@@ -789,5 +775,9 @@ def mlp_pairwise_sums_packed_bwd(
     u_bar = _fold_slots(outs[2 * n_m + 1], w_last, p).reshape(-1)
     ax_bar = outs[2 * n_m + 2][:, :n]
     av_bar = outs[2 * n_m + 3][:, :n]
-    ar_bar = jnp.sum(outs[2 * n_m + 4], axis=0)[:, :m]
+    # ar grads leave the kernel packed [n_blk_i, nt, nbj, bj, p*w0]:
+    # sum the i-partials, then unpack slots in XLA
+    ar_bar = _unpack_ref_rows(
+        jnp.sum(outs[2 * n_m + 4], axis=0), p, bj, w0
+    )[:, :m]
     return mids_m_bar, M_bar, u_bar, ax_bar, av_bar, ar_bar
