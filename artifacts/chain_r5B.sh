@@ -46,6 +46,21 @@ done
   done ) & COPIER=$!
 trap 'kill $COPIER 2>/dev/null' EXIT
 
+# ---- 0: packed-kernel timing at production IF the builder's manual
+# cmp512 at the pack-in-XLA HEAD printed PROBE OK (r5_cmp512_fix3.log)
+if grep -q "PROBE OK" "$ROOT/r5_cmp512_fix3.log" 2>/dev/null; then
+  log "packed 7x2000 probe start"
+  timeout 3600 python -u scripts/probe_pairwise_train_bwd.py --packed \
+    > "$S/packed7x2000.log" 2>&1
+  log "packed 7x2000 rc=$?"
+  log "packed tile sweep start"
+  timeout 3600 python -u scripts/probe_pairwise_train_bwd.py --sweep-blocks --packed \
+    > "$S/packed_sweep.log" 2>&1
+  log "packed sweep rc=$?"
+else
+  log "no PROBE OK in r5_cmp512_fix3.log — skipping packed timing"
+fi
+
 # ---- 1: FK member grids (fonly base; ~2-10 min each on chip)
 FKBASE="python -u -m pde_inverse_tpu.main preset=KMV-nonparametric-fourier \
   neural_network.quadratic_head=True solver.train.kmv_field_reg_fourier_only=True \
