@@ -288,3 +288,44 @@ class TestPackedWrapper:
         wide, wparams, *_ = _setup(rng, hidden=(64, 64))
         wlayers, *_ = bw._mlp_structure(wide, wparams)
         assert not bw.packed_ok(wide, wlayers[1:])
+
+
+class TestSlotPackHelpers:
+    """XLA-side slot movement (module policy: kernels never move slots).
+
+    _pack_ref_rows must agree with the kernels' ref-major pair-row order
+    (cell rows s*bj+jj -> lane group s), _unpack_ref_rows must invert it,
+    and _pack_mask must expand the per-row validity bit to every lane of
+    its slot."""
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.RandomState(0)
+        p, bj, w, nt, nbj = 3, 4, 5, 2, 2
+        a = jnp.asarray(rng.randn(nt, nbj * p * bj, w).astype(np.float32))
+        packed = pp._pack_ref_rows(a, p, bj)
+        assert packed.shape == (nt, nbj, bj, p * w)
+        # slot s, row jj of cell c == original row c*(p*bj) + s*bj + jj
+        for s in range(p):
+            np.testing.assert_array_equal(
+                np.asarray(packed[:, :, :, s * w : (s + 1) * w]),
+                np.asarray(
+                    a.reshape(nt, nbj, p, bj, w)[:, :, s]
+                ),
+            )
+        back = pp._unpack_ref_rows(packed, p, bj, w)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+    def test_pack_mask_lane_expansion(self):
+        rng = np.random.RandomState(1)
+        p, bj, w, nbj = 3, 4, 5, 2
+        mask = jnp.asarray(
+            (rng.rand(nbj * p * bj) > 0.4).astype(np.float32)
+        )
+        mp = pp._pack_mask(mask, p, bj, w)
+        assert mp.shape == (nbj, bj, p * w)
+        m3 = np.asarray(mask).reshape(nbj, p, bj)
+        for s in range(p):
+            want = np.broadcast_to(m3[:, s][:, :, None], (nbj, bj, w))
+            np.testing.assert_array_equal(
+                np.asarray(mp[:, :, s * w : (s + 1) * w]), want
+            )
