@@ -122,14 +122,24 @@ def main(argv):
             f"mode={mode:3s} first={t_compile:7.1f}s steady={dt * 1e3:8.1f} ms/grad"
         )
 
-    def worst_rel(ta, tb):
-        w = 0.0
-        for a, b in zip(
-            jax.tree_util.tree_leaves(ta), jax.tree_util.tree_leaves(tb)
-        ):
+    def per_leaf_rel(ta, tb):
+        out = []
+        la = jax.tree_util.tree_flatten_with_path(ta)[0]
+        lb = jax.tree_util.tree_leaves(tb)
+        for (path, a), b in zip(la, lb):
             denom = max(float(jnp.max(jnp.abs(b))), 1e-30)
-            w = max(w, float(jnp.max(jnp.abs(a - b))) / denom)
-        return w
+            out.append(
+                (float(jnp.max(jnp.abs(a - b))) / denom,
+                 jax.tree_util.keystr(path))
+            )
+        return out
+
+    def worst_rel(ta, tb, label=None):
+        leaves = per_leaf_rel(ta, tb)
+        if label is not None:
+            for r, name in sorted(leaves, reverse=True)[:4]:
+                print(f"    [{label}] {r:.3e}  {name}")
+        return max(r for r, _ in leaves)
 
     # f32 accumulation-order noise floor: the SAME jnp formulation summed
     # in a different chunk order (8x smaller ref chunks) — any pallas-vs-
@@ -151,7 +161,7 @@ def main(argv):
     thr = max(64.0 * floor, 5e-3)
     ok = gap < thr
     if packed:
-        gap_pk = worst_rel(results["packed"], results["off"])
+        gap_pk = worst_rel(results["packed"], results["off"], label="packed")
         print(f"max grad rel-err packed vs jnp: {gap_pk:.3e}")
         ok = ok and gap_pk < thr
     print("PROBE", "OK" if ok else "MISMATCH", f"(thr {thr:.1e})")
