@@ -434,8 +434,12 @@ def mlp_pairwise_stats(
         ax = jnp.einsum("ntd,dw->tnw", x_l, W0y_l) + b0
         av = jnp.einsum("ntd,dw->tnw", v_l, W0y_l)
         ar = jnp.einsum("mtd,dw->tmw", refs_l, W0y_l)
-        M = WF @ WF.T
-        u = 2.0 * (WF @ bF)
+        # M's signed-term head form g.Mg amplifies matmul rounding (the
+        # |f|^2 form it collapses is a sum of squares); build it at
+        # HIGHEST so the packed path isn't seeded with bf16-truncated M.
+        hi = jax.lax.Precision.HIGHEST
+        M = jnp.matmul(WF, WF.T, precision=hi)
+        u = 2.0 * jnp.matmul(WF, bF, precision=hi)
         c = bF @ bF
 
         def kernel_call(mids_m_, M_, u_, ax_, av_, ar_, valid_):
@@ -489,6 +493,18 @@ def mlp_pairwise_stats(
             "s_dz0": jnp.swapaxes(sums["s_dz0"], 0, 1),
         }
 
+    if pallas_mode == "auto" and _on_tpu():
+        # Prefer the lane-packed v2 kernels where applicable: measured
+        # 19.5 vs 52.8 ms/grad against v1 at 7x512x512 (production 20x8
+        # arch) at equal-or-better per-leaf gradient accuracy vs a
+        # HIGHEST-precision truth (scripts/probe_pairwise_train_bwd.py
+        # --packed, scripts/probe_packed_truth.py; artifacts/r5C).
+        try:
+            layers, _, _, _, _ = _mlp_structure(module, params)
+            if packed_ok(module, layers[1:]):
+                pallas_mode = "packed"
+        except (KeyError, TypeError, AttributeError):
+            pass
     if pallas_mode == "packed":
         local_sums_eff = packed_local_sums
         use_pallas = False

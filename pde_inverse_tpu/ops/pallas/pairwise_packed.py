@@ -62,10 +62,46 @@ from jax.experimental.pallas import tpu as pltpu
 from pde_inverse_tpu.ops.pallas.pairwise_kernel import (
     _ACT_D012,
     _ACT_D0123,
-    _dot,
-    _dot_t,
     _round_up,
 )
+
+# HIGHEST-precision MXU dots (packed-local; v1 keeps its defaults).
+# At TPU default precision f32 dot inputs are truncated to one bf16
+# pass; the collapsed head Phi = g.Mg + u.g computes a sum of squares
+# through SIGNED products, so bf16 truncation that is benign in v1's
+# |f|^2 feature form amplifies here — measured 1.7e-2 worst-leaf grad
+# error at 7x512x512, scale-INdependent (cmp512_fix4b / cmp64 logs),
+# against v1's 1.5e-3 with the identical algebra exact in interpret
+# mode.  HIGHEST restores f32-equivalent accumulation.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    """[..., k] @ [k, w], f32 accumulation, default (bf16-pass) inputs."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, b):
+    """[..., w] @ [k, w]^T, f32 accumulation, default (bf16-pass) inputs."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_hi(a, b):
+    """Head dots only: full-f32 passes.  The collapsed head g.Mg sums
+    SIGNED products of what is algebraically a sum of squares, so bf16
+    input truncation there amplifies through the cotangent chains into
+    the bias grads (measured 1.7e-2 worst-leaf at 7x512x512 with all
+    dots at default precision; weight leaves stay <5e-3)."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
 
 # Test hook: force interpreter mode globally (CPU equality gates).
 _INTERPRET = False
@@ -242,8 +278,8 @@ def _fwd_kernel(
     a, d1, d2 = act(z)
     g, gp = a, d1 * dz
     gq = d2 * dz * dz if d2z is None else d2 * dz * dz + d1 * d2z
-    Mg = _dot(g, cd(mblk_ref[...])).astype(jnp.float32)
-    Mgp = _dot(gp, cd(mblk_ref[...])).astype(jnp.float32)
+    Mg = _dot_hi(g, cd(mblk_ref[...])).astype(jnp.float32)
+    Mgp = _dot_hi(gp, cd(mblk_ref[...])).astype(jnp.float32)
     u = u_ref[...].astype(jnp.float32)  # [1, p*w_last]
     gf = g.astype(jnp.float32)
     gpf = gp.astype(jnp.float32)
@@ -259,10 +295,26 @@ def _fwd_kernel(
     mask2d = jnp.broadcast_to(
         maskl.astype(f32)[:, None, :], (bj, bi, wl)
     ).reshape(R, wl)
-    val2 = jnp.sum((phi_l * mask2d).reshape(bj, bi, wl), axis=-1)  # [bj, bi]
-    hess2 = jnp.sum((d2phi_l * mask2d).reshape(bj, bi, wl), axis=-1)
-    val_row = jnp.sum(val2, axis=0, keepdims=True)  # [1, bi]
-    hess_row = jnp.sum(hess2, axis=0, keepdims=True)
+
+    # Mosaic CANNOT relayout the [bj, bi] result of an axis=-1 reduce of
+    # the [bj, bi, wl] view at bj=16 ("Invalid relayout ...
+    # vector<16x128xf32>", bisect_packed_mosaic.py: fwd fails at bj=16
+    # AND 8, bwd — which has no such reduce — passes; v1's f2d only
+    # survives because its consumer keeps the replicated layout).  Stay
+    # fully 2-D instead: lane-sum to a [R, 1] column (standard layout),
+    # then contract the R axis against an iota-built query-selection
+    # matrix on the MXU — one [1, R] x [R, bi] issue per output row.
+    lane_val = jnp.sum(phi_l * mask2d, axis=1, keepdims=True)  # [R, 1]
+    lane_hess = jnp.sum(d2phi_l * mask2d, axis=1, keepdims=True)
+    qsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, bi), 0) % bi
+        == jax.lax.broadcasted_iota(jnp.int32, (R, bi), 1)
+    ).astype(jnp.float32)  # pair row r -> query point r % bi
+    ct0 = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    val_row = ct0(lane_val, qsel)  # [1, bi]
+    hess_row = ct0(lane_hess, qsel)
 
     # reverse sweep to the first-layer cotangent (packed single stream)
     delta = ((2.0 * Mg + u) * d1.astype(jnp.float32)).astype(compute_dtype)
@@ -495,10 +547,10 @@ def _bwd_kernel(
     gq = a2 * ps * ps if q is None else a2 * ps * ps + a1 * q
     gs = a1 * r
     Mb = cd(mblk_ref[...])
-    Mg = _dot(g, Mb).astype(jnp.float32)
-    Mgp = _dot(gp, Mb).astype(jnp.float32)
-    Mgq = _dot(gq, Mb).astype(jnp.float32)
-    Mgr = _dot(gs, Mb).astype(jnp.float32)
+    Mg = _dot_hi(g, Mb).astype(jnp.float32)
+    Mgp = _dot_hi(gp, Mb).astype(jnp.float32)
+    Mgq = _dot_hi(gq, Mb).astype(jnp.float32)
+    Mgr = _dot_hi(gs, Mb).astype(jnp.float32)
     u = u_ref[...].astype(jnp.float32)
     two_mg_u = 2.0 * Mg + u
 

@@ -151,19 +151,46 @@ def main(argv):
     gap = worst_rel(results["on"], results["off"])
     print(f"max grad rel-err pallas vs jnp: {gap:.3e}")
     print(f"jnp chunk-order noise floor:    {floor:.3e}")
-    # Threshold note: the chunk-reordered floor UNDERESTIMATES the
-    # reorder noise of a tile-level kernel reduction — measured v1 (whose
-    # correctness is independently gated by the on-chip pallas tests and
-    # production runs) sits at 1.46e-3 at 7x512x512 where the jnp floor
-    # reads 2.3e-5.  5e-3 cleanly separates f32 accumulation-order noise
-    # (~1e-3 through 8 layers of HVP cancellations) from real lowering
-    # bugs (the r5 selection-matmul miscompare measured 5.6e-1).
+    # v1 gate note: the chunk-reordered floor UNDERESTIMATES the reorder
+    # noise of a tile-level kernel reduction — measured v1 sits at
+    # 1.46e-3 at 7x512x512 where the jnp floor reads 2.3e-5.  5e-3
+    # separates accumulation-order noise from real lowering bugs (the r5
+    # selection-matmul miscompare measured 5.6e-1).
     thr = max(64.0 * floor, 5e-3)
     ok = gap < thr
     if packed:
         gap_pk = worst_rel(results["packed"], results["off"], label="packed")
         print(f"max grad rel-err packed vs jnp: {gap_pk:.3e}")
-        ok = ok and gap_pk < thr
+        # The packed gate CANNOT hold packed to agreement with the
+        # on-chip jnp path: ALL default-precision TPU f32 dots run bf16
+        # passes, and "on"/"off" share nearly the same noise REALIZATION
+        # (agree to 1.5e-3) while BOTH sit ~1e-2 (weight leaves) to
+        # ~2e-1 (cancellation-dominated bias leaves) from a CPU true-f32
+        # gradient (scripts/probe_packed_truth.py, artifacts/r5C).  The
+        # packed kernels draw an independent realization of the same
+        # noise, so the honest gate is per-leaf vs an on-chip
+        # HIGHEST-precision truth: packed's error must not exceed
+        # max(1.5 x v1's error, 5e-3) on any leaf.
+        with jax.default_matmul_precision("highest"):
+            g_true = jax.jit(jax.grad(lambda p: loss(p, "off")))(params)
+            jax.block_until_ready(g_true)
+        leaves_pk = per_leaf_rel(results["packed"], g_true)
+        leaves_on = per_leaf_rel(results["on"], g_true)
+        worst_ratio, worst_name = 0.0, ""
+        for (e_pk, name), (e_on, _) in zip(leaves_pk, leaves_on):
+            ratio = e_pk / max(1.5 * e_on, 5e-3)
+            if ratio > worst_ratio:
+                worst_ratio, worst_name = ratio, name
+        for (e_pk, name), (e_on, _) in sorted(
+            zip(leaves_pk, leaves_on), reverse=True
+        )[:4]:
+            print(f"    [vs-truth] packed={e_pk:.3e} v1={e_on:.3e}  {name}")
+        print(
+            "packed-vs-truth worst leaf ratio"
+            f" (packed / max(1.5*v1, 5e-3)): {worst_ratio:.2f}"
+            f" at {worst_name}"
+        )
+        ok = ok and worst_ratio < 1.0
     print("PROBE", "OK" if ok else "MISMATCH", f"(thr {thr:.1e})")
     return 0 if ok else 1
 
