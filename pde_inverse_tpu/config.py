@@ -153,12 +153,15 @@ class SolverTrainConfig:
     # budget; with the 100 MB override larger tiles amortize weight loads,
     # grid overhead, and accumulator revisits (round-4 VERDICT #4b tuning
     # surface).  block_i must be a multiple of 128, block_j of 8.
-    # On-chip sweep at the 7x2000/w64 production geometry (r4A
-    # tile_sweep.log): (128,16) 725.9 ms/grad vs (128,8) 752.0 and
-    # (256,8) 729.9; every R>=3072 tile fails to compile (backend
-    # tpu_compile_helper crash), so (128,16) is the measured optimum.
+    # On-chip sweeps at the 7x2000 production geometry: for the PACKED
+    # kernels (the auto path for packed_ok modules since round 5)
+    # (128,8) is the optimum — 174.1 ms/grad vs (128,16)'s 193.9
+    # (artifacts/r5E/packed_sweep.log); for the v1 fallback the order
+    # flips but shallowly ((128,16) 725.9 vs (128,8) 752.0, r4A
+    # tile_sweep.log) — the default favors the packed path.  Every
+    # R>=3072 tile fails to compile (backend tpu_compile_helper crash).
     kmv_pallas_block_i: int = 128
-    kmv_pallas_block_j: int = 16
+    kmv_pallas_block_j: int = 8
     # Field-space Tikhonov stabilizer for non-parametric KMV: adds
     # lambda * mean ||grad Phi(y)||^2 over a fixed strided probe set of
     # pairwise sample differences y = x_i - x_j to the weak-form loss.

@@ -540,6 +540,19 @@ def langevin_pallas(
     d = two_d // 2
     dt = float(dt)
     pack = max(1, int(pack))
+    if pack > 1 and interpret is False:
+        # The pack>1 sub-block mode mis-lowers on the real chip: its
+        # in-kernel iota-selector matmuls (the same construct class that
+        # silently miscompiled in the round-5 pairwise fix2 kernels)
+        # produce NaN final states, caught by the on-chip OU moment gate
+        # (tests/test_pallas.py::TestPackedLangevin, round-5 run).  The
+        # mode stays available in interpret mode (semantics gated) but is
+        # rejected on hardware until the backend lowering is fixed.
+        raise ValueError(
+            "langevin_pallas pack>1 is rejected on hardware: the packed "
+            "sub-block kernel miscompiles (NaN states; failed OU moment "
+            "gate). Use pack=1, or interpret mode for semantics tests."
+        )
     if interpret is True:
         # plain interpret mode lacks the TPU PRNG primitives; use the TPU
         # interpreter (works on CPU — the test-suite path)

@@ -278,29 +278,16 @@ class TestPackedLangevin:
         reason="stochastic kernel gates run on real TPU (interpret-mode "
         "PRNG returns zeros)",
     )
-    def test_packed_quadratic_matches_ou_moments_tpu(self):  # pragma: no cover
+    def test_packed_rejected_on_hardware_tpu(self):  # pragma: no cover
+        """Round-5 on-chip OU moment gate FAILED for pack>1 (NaN final
+        states — the in-kernel iota-selector matmuls mis-lower, the same
+        construct class as the pairwise fix2 miscompare).  The mode is
+        therefore rejected on hardware; this gate pins the rejection."""
         d = 2
-        gamma = 1.0
-        _F = jax.random.normal(jax.random.PRNGKey(2217), (d, d + 1))
-        tF = _F @ _F.T / d
-        F = jnp.block(
-            [[jnp.zeros((d, d)), jnp.eye(d)], [-tF, -gamma * jnp.eye(d)]]
-        )
-        L = jnp.block(
-            [
-                [jnp.zeros((d, d)), jnp.zeros((d, d))],
-                [jnp.zeros((d, d)), 2.0 * jnp.eye(d)],
-            ]
-        )
-        pot = QuadraticPotential.create(jnp.zeros(d), jnp.linalg.inv(tF))
-        T, n_steps, n = 1.0, 200, 65536
-        z0 = jax.random.normal(jax.random.PRNGKey(0), (n, 2 * d))
-        final, _, _ = langevin_pallas(
-            jnp.int32(11), z0, n_steps, T / n_steps, pot, gamma,
-            return_trajectory=False, pack=4,
-        )
-        mean_exact, cov_exact = ou.lti_moments(
-            F, L, jnp.zeros(2 * d), jnp.eye(2 * d), jnp.float32(T)
-        )
-        np.testing.assert_allclose(final.mean(0), mean_exact, atol=0.05)
-        np.testing.assert_allclose(np.cov(np.asarray(final).T), cov_exact, atol=0.1)
+        pot = QuadraticPotential.create(jnp.zeros(d), jnp.eye(d))
+        z0 = jax.random.normal(jax.random.PRNGKey(0), (1024, 2 * d))
+        with pytest.raises(ValueError, match="pack>1 is rejected"):
+            langevin_pallas(
+                jnp.int32(11), z0, 10, 0.01, pot, 1.0,
+                return_trajectory=False, pack=4,
+            )

@@ -20,6 +20,24 @@ from pde_inverse_tpu.ops.pallas import pairwise_packed as pp
 from tests.test_pallas_pairwise import _setup, _kernel_inputs, _jnp_reference
 
 
+@pytest.fixture(autouse=True)
+def _true_f32_matmuls():
+    """Pin every default-precision dot to full-f32 passes for these gates.
+
+    On the TPU backend (the on-chip gate run, PDE_INVERSE_TPU_TEST_TPU=1)
+    default-precision f32 dots run single bf16 passes, and the packed
+    path intentionally differs from the jnp reference in WHERE precision
+    is raised (its head dots are HIGHEST; M = W_F W_F^T is built at
+    HIGHEST) — so at default precision the two sides carry ~1e-3-class
+    INDEPENDENT bf16 noise and the tight equality tolerances here fail
+    on chip while passing on CPU (round-5 gate run; see
+    scripts/probe_packed_truth.py for the noise measurement).  Under
+    "highest" both sides are f32-accurate on every backend and the
+    tolerances test ALGEBRA, which is what these gates are for."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def _collapse(mids):
     """(mids_m, M, u, c) of the squared-feature head collapse."""
     mids_m, (WF, bF) = list(mids[:-1]), mids[-1]
@@ -261,6 +279,11 @@ class TestPackedWrapper:
         ):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
 
+    @pytest.mark.skipif(
+        len(jax.devices()) < 8,
+        reason="needs the 8-virtual-device CPU mesh (conftest); the "
+        "on-chip gate run has 1 device",
+    )
     def test_packed_on_2d_mesh(self, monkeypatch):
         """Packed kernels + custom_vjp inside the (data, ref) shard_map."""
         from pde_inverse_tpu.config import BackendConfig
